@@ -1,0 +1,195 @@
+"""The static padded complex schema — the TPU replacement for PyG HeteroData.
+
+One ``ComplexData`` holds a single protein-ligand complex as fixed-shape
+arrays with validity masks. The design rules:
+
+* all shapes are static per (ligand, receptor, bond) bucket, so one jit
+  compilation serves every complex in a bucket;
+* the ONLY pose-dependent array is the ligand position — pose replicas are a
+  ``vmap`` axis, not a flattened mega-graph (reference batching flattens N
+  replicas into one PyG Batch, ``utils/sampling.py:80-93``);
+* edges live as dense receiver-major neighbor structures: bonded neighbor
+  lists (static), kNN receptor lists (static, precomputed like reference
+  ``datasets/process_mols.py:172``), and all-pairs masks for the
+  distance-dependent graphs rebuilt each diffusion step.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class ComplexData(NamedTuple):
+    """All arrays are jnp/np; a valid pytree for jit/vmap/shard_map."""
+
+    # --- ligand (static across poses/steps) ---
+    lig_cat: jnp.ndarray  # (NL, 16) int32 categorical features
+    lig_mask: jnp.ndarray  # (NL,) bool
+    lig_pos: jnp.ndarray  # (NL, 3) f32 reference pose (receptor-centered)
+    lig_bond_nbr: jnp.ndarray  # (NL, KB) int32 bonded neighbor indices
+    lig_bond_mask: jnp.ndarray  # (NL, KB) bool
+    lig_bond_attr: jnp.ndarray  # (NL, KB, 4) f32 bond-type one-hot
+
+    # --- rotatable bonds ---
+    rot_u: jnp.ndarray  # (B,) int32 fixed-side atom
+    rot_v: jnp.ndarray  # (B,) int32 rotated-side atom
+    rot_mask: jnp.ndarray  # (B,) bool
+    mask_rotate: jnp.ndarray  # (B, NL) bool
+
+    # --- receptor (fully static) ---
+    rec_cat: jnp.ndarray  # (NR, 1) int32 residue identity
+    rec_lm: jnp.ndarray  # (NR, LM) f32 language-model embedding (LM may be 0)
+    rec_mask: jnp.ndarray  # (NR,) bool
+    rec_pos: jnp.ndarray  # (NR, 3) f32 C-alpha coords (receptor-centered)
+    rec_nbr: jnp.ndarray  # (NR, KR) int32 precomputed kNN neighbors
+    rec_nbr_mask: jnp.ndarray  # (NR, KR) bool
+
+    # --- bookkeeping ---
+    original_center: jnp.ndarray  # (3,) f32 receptor centroid in input frame
+
+    @property
+    def n_lig(self) -> int:
+        return self.lig_cat.shape[0]
+
+    @property
+    def n_rec(self) -> int:
+        return self.rec_cat.shape[0]
+
+    @property
+    def n_bonds(self) -> int:
+        return self.rot_u.shape[0]
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def bucket_sizes(
+    n_lig: int, n_rec: int, n_bonds: int,
+    lig_quantum: int = 16, rec_quantum: int = 64, bond_quantum: int = 8,
+) -> Tuple[int, int, int]:
+    """Round sizes up to bucket boundaries to bound jit recompilation."""
+    return (
+        max(_round_up(n_lig, lig_quantum), lig_quantum),
+        max(_round_up(n_rec, rec_quantum), rec_quantum),
+        max(_round_up(max(n_bonds, 1), bond_quantum), bond_quantum),
+    )
+
+
+def pad_to(data: ComplexData, nl: int, nr: int, nb: int) -> ComplexData:
+    """Pad a ComplexData to bucket sizes (host-side, numpy)."""
+
+    def pad(a, target_rows, fill=0):
+        a = np.asarray(a)
+        pad_width = [(0, target_rows - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, pad_width, constant_values=fill)
+
+    cur_nl, cur_nr, cur_nb = data.lig_cat.shape[0], data.rec_cat.shape[0], data.rot_u.shape[0]
+    assert nl >= cur_nl and nr >= cur_nr and nb >= cur_nb
+    mask_rotate = np.asarray(data.mask_rotate)
+    mask_rotate = np.pad(
+        mask_rotate, [(0, nb - cur_nb), (0, nl - cur_nl)], constant_values=False
+    )
+    return ComplexData(
+        lig_cat=pad(data.lig_cat, nl),
+        lig_mask=pad(data.lig_mask, nl, False),
+        lig_pos=pad(data.lig_pos, nl),
+        lig_bond_nbr=pad(data.lig_bond_nbr, nl),
+        lig_bond_mask=pad(data.lig_bond_mask, nl, False),
+        lig_bond_attr=pad(data.lig_bond_attr, nl),
+        rot_u=pad(data.rot_u, nb),
+        rot_v=pad(data.rot_v, nb),
+        rot_mask=pad(data.rot_mask, nb, False),
+        mask_rotate=mask_rotate,
+        rec_cat=pad(data.rec_cat, nr),
+        rec_lm=pad(data.rec_lm, nr),
+        rec_mask=pad(data.rec_mask, nr, False),
+        rec_pos=pad(data.rec_pos, nr),
+        rec_nbr=pad(data.rec_nbr, nr),
+        rec_nbr_mask=pad(data.rec_nbr_mask, nr, False),
+        original_center=np.asarray(data.original_center),
+    )
+
+
+def build_knn_neighbors(
+    pos: np.ndarray, k: int, max_radius: Optional[float] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side kNN neighbor lists for the receptor graph.
+
+    Mirrors the preprocessing kNN of the reference (knn-only graph,
+    ``datasets/process_mols.py:172,208``): each node's k nearest other nodes,
+    optionally radius-capped.
+    """
+    n = pos.shape[0]
+    k = min(k, max(n - 1, 1))
+    d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    idx = np.argsort(d, axis=1)[:, :k]
+    dist = np.take_along_axis(d, idx, axis=1)
+    mask = np.isfinite(dist)
+    if max_radius is not None:
+        mask &= dist <= max_radius
+    return idx.astype(np.int32), mask
+
+
+def synthetic_complex(
+    rng: np.random.RandomState,
+    n_lig: int = 12,
+    n_rec: int = 48,
+    n_bonds: int = 3,
+    lm_dim: int = 0,
+    k_rec: int = 10,
+) -> ComplexData:
+    """Random but structurally valid complex for tests and benchmarks."""
+    # ligand: a random chain so rotatable bonds are well-defined
+    lig_pos = np.cumsum(rng.randn(n_lig, 3).astype(np.float32) * 0.8, axis=0)
+    lig_pos = lig_pos - lig_pos.mean(0)
+    bonds = [(i, i + 1) for i in range(n_lig - 1)]
+
+    from diffdock_tpu.geometry.torsion import rotatable_bond_mask
+
+    edge_mask, mask_rotate = rotatable_bond_mask(n_lig, bonds)
+    directed = [e for ij in bonds for e in (ij, ij[::-1])]
+    rot_edges = [directed[i] for i in np.flatnonzero(edge_mask)]
+    # keep at most n_bonds rotatable bonds
+    rot_edges, mask_rotate = rot_edges[:n_bonds], mask_rotate[:n_bonds]
+
+    kb = 4
+    bond_nbr = np.zeros((n_lig, kb), np.int32)
+    bond_mask = np.zeros((n_lig, kb), bool)
+    bond_attr = np.zeros((n_lig, kb, 4), np.float32)
+    deg = np.zeros(n_lig, int)
+    for (i, j) in bonds:
+        for a, b in ((i, j), (j, i)):
+            bond_nbr[a, deg[a]] = b
+            bond_mask[a, deg[a]] = True
+            bond_attr[a, deg[a], rng.randint(4)] = 1.0
+            deg[a] += 1
+
+    rec_pos = (rng.randn(n_rec, 3) * 8.0).astype(np.float32)
+    rec_pos = rec_pos - rec_pos.mean(0)
+    rec_nbr, rec_nbr_mask = build_knn_neighbors(rec_pos, k_rec)
+
+    nb = len(rot_edges)
+    return ComplexData(
+        lig_cat=rng.randint(0, 4, size=(n_lig, 16)).astype(np.int32),
+        lig_mask=np.ones(n_lig, bool),
+        lig_pos=lig_pos,
+        lig_bond_nbr=bond_nbr,
+        lig_bond_mask=bond_mask,
+        lig_bond_attr=bond_attr,
+        rot_u=np.array([e[0] for e in rot_edges], np.int32),
+        rot_v=np.array([e[1] for e in rot_edges], np.int32),
+        rot_mask=np.ones(nb, bool),
+        mask_rotate=mask_rotate.astype(bool),
+        rec_cat=rng.randint(0, 20, size=(n_rec, 1)).astype(np.int32),
+        rec_lm=np.zeros((n_rec, lm_dim), np.float32),
+        rec_mask=np.ones(n_rec, bool),
+        rec_pos=rec_pos,
+        rec_nbr=rec_nbr,
+        rec_nbr_mask=rec_nbr_mask,
+        original_center=np.zeros(3, np.float32),
+    )

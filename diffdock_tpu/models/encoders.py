@@ -1,0 +1,74 @@
+"""Feature encoders (reference ``models/layers.py``)."""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+class FCBlock(nn.Module):
+    """MLP emitting tensor-product weights (reference ``models/layers.py:10``)."""
+
+    hidden_dim: int
+    out_dim: int
+    layers: int = 2
+    dropout: float = 0.0
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        assert self.layers >= 2
+        act = {"relu": nn.relu, "silu": nn.silu}[self.activation]
+        for _ in range(self.layers - 1):
+            x = nn.Dense(self.hidden_dim)(x)
+            x = act(x)
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.Dense(self.out_dim)(x)
+
+
+class GaussianSmearing(nn.Module):
+    """RBF distance embedding (reference ``models/layers.py:20-30``)."""
+
+    start: float = 0.0
+    stop: float = 5.0
+    num_gaussians: int = 50
+
+    @nn.compact
+    def __call__(self, dist: jnp.ndarray) -> jnp.ndarray:
+        offset = jnp.linspace(self.start, self.stop, self.num_gaussians)
+        coeff = -0.5 / float(offset[1] - offset[0]) ** 2
+        d = dist[..., None] - offset
+        return jnp.exp(coeff * d * d)
+
+
+class AtomEncoder(nn.Module):
+    """Sum of categorical embeddings + linear fuse of extra scalar features
+    (reference ``models/layers.py:33-68``, the 'new' encoder).
+
+    Input layout: ``x[..., :n_cat]`` integer-coded categorical features,
+    ``x[..., n_cat:]`` scalar features (sigma embedding, LM embedding, ...).
+    """
+
+    emb_dim: int
+    categorical_dims: Tuple[int, ...]
+    scalar_dim: int = 0  # sigma_embed_dim + lm_embedding_dim + scalars
+
+    @nn.compact
+    def __call__(self, x_cat: jnp.ndarray, x_scalar: jnp.ndarray = None) -> jnp.ndarray:
+        emb = 0.0
+        for i, dim in enumerate(self.categorical_dims):
+            table = nn.Embed(
+                dim, self.emb_dim,
+                embedding_init=nn.initializers.xavier_uniform(),
+                name=f"cat_{i}",
+            )
+            emb = emb + table(x_cat[..., i])
+        if self.scalar_dim > 0:
+            assert x_scalar is not None and x_scalar.shape[-1] == self.scalar_dim
+            emb = nn.Dense(self.emb_dim, name="fuse")(
+                jnp.concatenate([emb, x_scalar], axis=-1)
+            )
+        return emb
