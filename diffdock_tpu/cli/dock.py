@@ -1,0 +1,169 @@
+"""Docking CLI (the reference ``inference.py`` equivalent).
+
+Examples::
+
+    python -m diffdock_tpu.cli.dock \
+        --protein_path examples/6w70.pdb --ligand examples/6w70_ligand.sdf \
+        --out_dir results/6w70 --samples_per_complex 10
+
+    python -m diffdock_tpu.cli.dock --protein_ligand_csv pairs.csv --out_dir results
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="diffdock_tpu docking")
+    p.add_argument("--config", default=None, help="YAML overriding defaults")
+    p.add_argument("--protein_path", default=None)
+    p.add_argument("--ligand", default=None, help="ligand file (.sdf/.mol)")
+    p.add_argument("--protein_ligand_csv", default=None,
+                   help="CSV with columns complex_name,protein_path,ligand_description")
+    p.add_argument("--complex_name", default=None)
+    p.add_argument("--out_dir", default="results/user_predictions")
+    p.add_argument("--model_dir", default=None,
+                   help="run dir with model_parameters.yml + model.msgpack")
+    p.add_argument("--confidence_model_dir", default=None)
+    p.add_argument("--samples_per_complex", type=int, default=10)
+    p.add_argument("--inference_steps", type=int, default=20)
+    p.add_argument("--actual_steps", type=int, default=19)
+    p.add_argument("--no_final_step_noise", action="store_true", default=True)
+    p.add_argument("--ode", action="store_true", default=False)
+    p.add_argument("--no_random", action="store_true", default=False)
+    p.add_argument("--initial_noise_std_proportion", type=float,
+                   default=1.4601642460337794)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--model_preset", default="diffdock_s",
+                   help="preset when no --model_dir given (random weights)")
+    return p
+
+
+def load_pipeline(args):
+    import jax
+
+    from diffdock_tpu.inference.pipeline import DockingPipeline
+    from diffdock_tpu.inference.sampler import SamplerConfig
+    from diffdock_tpu.models.config import PRESETS
+    from diffdock_tpu.models.score_model import CGScoreModel
+    from diffdock_tpu.train.checkpoints import load_checkpoint
+
+    sampler_cfg = SamplerConfig(
+        inference_steps=args.inference_steps,
+        actual_steps=args.actual_steps,
+        no_final_step_noise=args.no_final_step_noise,
+        ode=args.ode,
+        no_random=args.no_random,
+        initial_noise_std_proportion=args.initial_noise_std_proportion,
+    )
+
+    if args.model_dir:
+        params, cfg, _ = load_checkpoint(args.model_dir)
+    else:
+        print(
+            "WARNING: no --model_dir given; using RANDOM weights "
+            f"({args.model_preset}) — poses will not be meaningful.",
+            file=sys.stderr,
+        )
+        cfg = PRESETS[args.model_preset]
+        if cfg.lm_embedding_dim:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, lm_embedding_dim=0)
+        from diffdock_tpu.data.complexes import synthetic_complex
+        from diffdock_tpu.diffusion.so3 import get_so3_tables
+        from diffdock_tpu.diffusion.torus import get_torus_tables
+        import jax.numpy as jnp
+
+        model = CGScoreModel(cfg)
+        d = synthetic_complex(np.random.RandomState(0))
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jax.tree.map(jnp.asarray, d),
+            jnp.asarray(d.lig_pos), jnp.asarray(0.5),
+            get_so3_tables(), get_torus_tables(),
+        )
+
+    conf_cfg = conf_params = None
+    if args.confidence_model_dir:
+        conf_params, conf_cfg, _ = load_checkpoint(args.confidence_model_dir)
+
+    return DockingPipeline(
+        score_cfg=cfg,
+        score_params=params,
+        sampler_cfg=sampler_cfg,
+        confidence_cfg=conf_cfg,
+        confidence_params=conf_params,
+    )
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    if args.config:
+        import yaml
+
+        with open(args.config) as f:
+            overrides = yaml.safe_load(f)
+        for k, v in (overrides or {}).items():
+            if hasattr(args, k):
+                setattr(args, k, v)
+
+    tasks = []
+    if args.protein_ligand_csv:
+        with open(args.protein_ligand_csv) as f:
+            for row in csv.DictReader(f):
+                tasks.append(
+                    (
+                        row.get("complex_name") or os.path.splitext(
+                            os.path.basename(row["protein_path"])
+                        )[0],
+                        row["protein_path"],
+                        row["ligand_description"],
+                    )
+                )
+    else:
+        if not (args.protein_path and args.ligand):
+            print("need --protein_path + --ligand or --protein_ligand_csv",
+                  file=sys.stderr)
+            return 2
+        name = args.complex_name or os.path.splitext(
+            os.path.basename(args.protein_path)
+        )[0]
+        tasks.append((name, args.protein_path, args.ligand))
+
+    pipeline = load_pipeline(args)
+
+    failures = 0
+    for name, protein_path, ligand_path in tasks:
+        out = os.path.join(args.out_dir, name)
+        t0 = time.time()
+        try:
+            result = pipeline.dock_files(
+                protein_path, ligand_path, out,
+                num_poses=args.samples_per_complex, seed=args.seed,
+            )
+        except Exception as e:  # noqa: BLE001 — skip-and-continue like the reference
+            print(f"[{name}] FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+            failures += 1
+            continue
+        best = (
+            f"{result.confidence[result.order[0]]:.3f}"
+            if result.confidence is not None
+            else "n/a"
+        )
+        print(
+            f"[{name}] {result.poses.shape[0]} poses in {time.time() - t0:.1f}s"
+            f" -> {out} (best confidence {best})"
+        )
+    print(f"done: {len(tasks) - failures}/{len(tasks)} complexes succeeded")
+    return 0 if failures == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

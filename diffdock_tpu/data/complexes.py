@@ -173,9 +173,15 @@ def synthetic_complex(
     rec_pos = rec_pos - rec_pos.mean(0)
     rec_nbr, rec_nbr_mask = build_knn_neighbors(rec_pos, k_rec)
 
+    from diffdock_tpu.data.featurize import LIG_CATEGORICAL_DIMS
+
+    lig_cat = np.stack(
+        [rng.randint(0, d, size=n_lig) for d in LIG_CATEGORICAL_DIMS], axis=1
+    ).astype(np.int32)
+
     nb = len(rot_edges)
     return ComplexData(
-        lig_cat=rng.randint(0, 4, size=(n_lig, 16)).astype(np.int32),
+        lig_cat=lig_cat,
         lig_mask=np.ones(n_lig, bool),
         lig_pos=lig_pos,
         lig_bond_nbr=bond_nbr,

@@ -70,9 +70,28 @@ def _generate_tables(cfg: SO3Config) -> Tuple[np.ndarray, ...]:
     dsigma = coeff @ dterm
     score_norms = dsigma / exp_vals
 
-    exp_score_norms = np.sqrt(
-        np.sum(score_norms**2 * pdf_vals, axis=1) / np.sum(pdf_vals, axis=1) / np.pi
-    )
+    with np.errstate(invalid="ignore"):
+        exp_score_norms = np.sqrt(
+            np.sum(score_norms**2 * pdf_vals, axis=1)
+            / np.sum(pdf_vals, axis=1)
+            / np.pi
+        )
+
+    # The truncated series cannot resolve eps < ~10/L (the reference ships
+    # garbage rows there, utils/so3.py:52-58). Replace those rows with the
+    # exact small-eps limit: IGSO3 -> 3D Gaussian, omega ~ Maxwell(eps),
+    # score = -omega/eps^2, E-norm sqrt(3/pi)/eps (the /pi replicates the
+    # reference's extra normalization at utils/so3.py:59).
+    bad = eps_grid < 10.0 / cfg.l_max
+    if bad.any():
+        eps_b = eps_grid[bad][:, None]
+        pdf_b = omegas**2 / eps_b**3 * np.exp(-(omegas**2) / (2 * eps_b**2))
+        cdf_b = np.cumsum(pdf_b, axis=1)
+        cdf_b /= cdf_b[:, -1:]
+        cdf_vals[bad] = cdf_b
+        score_norms[bad] = -omegas / eps_b**2
+        exp_score_norms[bad] = np.sqrt(3.0 / np.pi) / eps_b[:, 0]
+
     return omegas, cdf_vals, score_norms, exp_score_norms
 
 
@@ -129,6 +148,13 @@ class SO3Tables:
     def score_norm(self, eps: jnp.ndarray) -> jnp.ndarray:
         """E[||score||^2]^{1/2} lookup (reference ``utils/so3.py:89-93``)."""
         return self.exp_score_norms[self._eps_idx(eps)]
+
+
+jax.tree_util.register_dataclass(
+    SO3Tables,
+    data_fields=["omegas", "cdf_vals", "score_norms", "exp_score_norms"],
+    meta_fields=["cfg"],
+)
 
 
 @functools.lru_cache(maxsize=2)

@@ -120,6 +120,13 @@ class TorusTables:
         return (out + jnp.pi) % (2 * jnp.pi) - jnp.pi
 
 
+jax.tree_util.register_dataclass(
+    TorusTables,
+    data_fields=["p_table", "score_table", "score_norm_table"],
+    meta_fields=["cfg"],
+)
+
+
 @functools.lru_cache(maxsize=2)
 def get_torus_tables(cfg: TorusConfig = TorusConfig()) -> TorusTables:
     cache_dir = default_cache_dir()

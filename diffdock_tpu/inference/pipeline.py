@@ -1,0 +1,174 @@
+"""End-to-end docking pipeline: files -> featurize -> sample -> rank -> SDF.
+
+The user-facing equivalent of the reference ``inference.py:57-318`` flow,
+re-shaped for TPUs: per complex one jitted program (receptor embed + full
+reverse diffusion + confidence scoring), compiled once per
+(ligand, receptor, bond) bucket and reused across complexes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffdock_tpu.data.chem import Molecule, read_molecule_file, read_pdb_file, write_sdf
+from diffdock_tpu.data.complexes import ComplexData, bucket_sizes, pad_to
+from diffdock_tpu.data.featurize import build_complex_data
+from diffdock_tpu.diffusion.so3 import SO3Tables, get_so3_tables
+from diffdock_tpu.diffusion.torus import TorusTables, get_torus_tables
+from diffdock_tpu.inference.sampler import (
+    SamplerConfig,
+    randomize_position,
+    reverse_diffusion,
+)
+from diffdock_tpu.models.config import ScoreModelConfig
+from diffdock_tpu.models.score_model import CGScoreModel
+
+
+@dataclasses.dataclass
+class DockingResult:
+    poses: np.ndarray  # (P, NL, 3) in the original input frame
+    confidence: Optional[np.ndarray]  # (P,) higher is better, or None
+    order: np.ndarray  # (P,) indices sorted by confidence (best first)
+
+
+class DockingPipeline:
+    """Holds models/params/tables and compiles one program per bucket."""
+
+    def __init__(
+        self,
+        score_cfg: ScoreModelConfig,
+        score_params,
+        sampler_cfg: SamplerConfig = SamplerConfig(),
+        confidence_cfg: Optional[ScoreModelConfig] = None,
+        confidence_params=None,
+        so3_tables: Optional[SO3Tables] = None,
+        torus_tables: Optional[TorusTables] = None,
+    ):
+        self.score_cfg = score_cfg
+        self.score_model = CGScoreModel(score_cfg)
+        self.score_params = score_params
+        self.sampler_cfg = sampler_cfg
+        self.confidence_cfg = confidence_cfg
+        self.confidence_model = (
+            CGScoreModel(confidence_cfg) if confidence_cfg is not None else None
+        )
+        self.confidence_params = confidence_params
+        self.so3 = so3_tables if so3_tables is not None else get_so3_tables()
+        self.torus = torus_tables if torus_tables is not None else get_torus_tables()
+        self._compiled: Dict[Tuple[int, int, int, int], callable] = {}
+
+    # ------------------------------------------------------------------
+    def _program(self, num_poses: int):
+        """The full docking program for one padded complex."""
+
+        def run(key, data: ComplexData):
+            k_init, k_diff = jax.random.split(key)
+            cache = self.score_model.apply(
+                self.score_params, data, method="embed_receptor"
+            )
+
+            init = randomize_position(
+                k_init, data, num_poses, self.score_cfg.sigma.tr_sigma_max,
+                self.sampler_cfg.initial_noise_std_proportion,
+                no_random=self.sampler_cfg.no_random,
+                no_torsion=self.score_cfg.no_torsion,
+            )
+
+            def score_fn(poses, t):
+                return jax.vmap(
+                    lambda p: self.score_model.apply(
+                        self.score_params, data, p, t, self.so3, self.torus,
+                        rec_cache=cache,
+                    )
+                )(poses)
+
+            final = reverse_diffusion(
+                k_diff, score_fn, data, init, self.sampler_cfg,
+                self.score_cfg.sigma, self.so3, self.torus,
+                no_torsion=self.score_cfg.no_torsion,
+            )
+
+            if self.confidence_model is not None:
+                conf = jax.vmap(
+                    lambda p: self.confidence_model.apply(
+                        self.confidence_params, data, p, jnp.asarray(0.0),
+                        self.so3, self.torus,
+                    )
+                )(final)[..., 0]
+                conf = jnp.nan_to_num(conf, nan=-1000.0)
+            else:
+                conf = jnp.zeros((num_poses,))
+            return final, conf
+
+        return run
+
+    def _get_compiled(self, nl: int, nr: int, nb: int, num_poses: int):
+        key = (nl, nr, nb, num_poses)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(self._program(num_poses))
+        return self._compiled[key]
+
+    # ------------------------------------------------------------------
+    def dock_complex(
+        self, data: ComplexData, num_poses: int = 10, seed: int = 0
+    ) -> DockingResult:
+        nl, nr, nb = bucket_sizes(data.n_lig, data.n_rec, data.n_bonds)
+        n_real = data.n_lig
+        padded = pad_to(data, nl, nr, nb)
+        padded = jax.tree.map(jnp.asarray, padded)
+        fn = self._get_compiled(nl, nr, nb, num_poses)
+        poses, conf = fn(jax.random.PRNGKey(seed), padded)
+        poses = np.asarray(poses)[:, :n_real]
+        poses = poses + np.asarray(data.original_center)[None, None]
+        conf = np.asarray(conf)
+        order = np.argsort(-conf)
+        has_conf = self.confidence_model is not None
+        return DockingResult(
+            poses=poses,
+            confidence=conf if has_conf else None,
+            order=order if has_conf else np.arange(num_poses),
+        )
+
+    # ------------------------------------------------------------------
+    def dock_files(
+        self,
+        protein_path: str,
+        ligand_path: str,
+        out_dir: str,
+        num_poses: int = 10,
+        seed: int = 0,
+        lm_embeddings: Optional[np.ndarray] = None,
+    ) -> DockingResult:
+        """Dock a ligand file into a protein and write ranked SDFs
+        (naming scheme matches reference ``inference.py:286-290``)."""
+        mol = read_molecule_file(ligand_path)
+        protein = read_pdb_file(protein_path)
+        data, heavy_mol = build_complex_data(mol, protein, lm_embeddings)
+        result = self.dock_complex(data, num_poses=num_poses, seed=seed)
+
+        os.makedirs(out_dir, exist_ok=True)
+        for rank, idx in enumerate(result.order):
+            conf = (
+                float(result.confidence[idx])
+                if result.confidence is not None
+                else None
+            )
+            if rank == 0:
+                name = "rank1.sdf"
+            else:
+                name = f"rank{rank + 1}.sdf"
+            props = {}
+            if conf is not None:
+                props["confidence"] = f"{conf:.4f}"
+                if rank > 0:
+                    name = f"rank{rank + 1}_confidence{conf:.2f}.sdf"
+            with open(os.path.join(out_dir, name), "w") as f:
+                f.write(write_sdf(heavy_mol, result.poses[idx], props))
+        return result

@@ -1,0 +1,98 @@
+"""Typed model configuration (replaces the reference's argparse namespace).
+
+Field names and defaults mirror the reference training args
+(``utils/parsing.py:375-405``) so run configs translate one-to-one.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+from diffdock_tpu.diffusion.schedules import SigmaConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class ScoreModelConfig:
+    # representation sizes
+    ns: int = 16
+    nv: int = 4
+    num_conv_layers: int = 2
+    num_prot_emb_layers: int = 0
+    sh_lmax: int = 2
+    use_second_order_repr: bool = False
+    reduce_pseudoscalars: bool = False
+    embed_also_ligand: bool = True
+
+    # graph cutoffs
+    lig_max_radius: float = 5.0
+    rec_max_radius: float = 30.0
+    cross_max_distance: float = 80.0
+    dynamic_max_cross: bool = False
+    center_max_distance: float = 30.0
+
+    # embeddings
+    in_lig_edge_features: int = 4
+    sigma_embed_dim: int = 32
+    distance_embed_dim: int = 32
+    cross_distance_embed_dim: int = 32
+    embedding_type: str = "sinusoidal"
+    embedding_scale: float = 1000.0
+    lm_embedding_dim: int = 0  # 1280 when ESM embeddings are used
+
+    # regularization / numerics
+    batch_norm: bool = True
+    dropout: float = 0.0
+    tp_weights_layers: int = 2
+    smooth_edges: bool = False
+    odd_parity: bool = False
+
+    # heads
+    no_torsion: bool = False
+    scale_by_sigma: bool = True
+    fixed_center_conv: bool = True
+    confidence_mode: bool = False
+    confidence_dropout: float = 0.0
+    confidence_no_batchnorm: bool = False
+    num_confidence_outputs: int = 1
+
+    # grouped conv FCs per edge type (reference differentiate_convolutions)
+    differentiate_convolutions: bool = True
+
+    sigma: SigmaConfig = SigmaConfig()
+
+    @property
+    def lig_node_categorical_dims(self) -> Tuple[int, ...]:
+        # reference lig_feature_dims (datasets/process_mols.py:59-76)
+        from diffdock_tpu.data.featurize import LIG_CATEGORICAL_DIMS
+
+        return LIG_CATEGORICAL_DIMS
+
+    @property
+    def rec_node_categorical_dims(self) -> Tuple[int, ...]:
+        # reference rec_residue_feature_dims (datasets/process_mols.py:85-87)
+        from diffdock_tpu.data.featurize import REC_CATEGORICAL_DIMS
+
+        return REC_CATEGORICAL_DIMS
+
+
+# Model presets. `diffdock_s` matches the reference's default training args;
+# `diffdock_l` matches the published DiffDock-L scale (arXiv:2402.18396;
+# large score model: ns=48, nv=10, 3 protein-embedding + 3 joint conv layers,
+# dynamic cross cutoff, ESM embeddings).
+PRESETS = {
+    "diffdock_s": ScoreModelConfig(),
+    "diffdock_l": ScoreModelConfig(
+        ns=48,
+        nv=10,
+        num_conv_layers=3,
+        num_prot_emb_layers=3,
+        dynamic_max_cross=True,
+        cross_max_distance=250.0,
+        lm_embedding_dim=1280,
+        use_second_order_repr=False,
+        reduce_pseudoscalars=True,
+        embed_also_ligand=True,
+        sigma=SigmaConfig(tr_sigma_max=19.0),
+    ),
+}

@@ -38,9 +38,9 @@ class GaussianSmearing(nn.Module):
 
     @nn.compact
     def __call__(self, dist: jnp.ndarray) -> jnp.ndarray:
-        offset = jnp.linspace(self.start, self.stop, self.num_gaussians)
+        offset = np.linspace(self.start, self.stop, self.num_gaussians)
         coeff = -0.5 / float(offset[1] - offset[0]) ** 2
-        d = dist[..., None] - offset
+        d = dist[..., None] - jnp.asarray(offset, dist.dtype)
         return jnp.exp(coeff * d * d)
 
 

@@ -57,3 +57,17 @@ def spherical_harmonics(
     if lmax >= 3:
         raise NotImplementedError("lmax <= 2 covers the model family")
     return jnp.stack(out, axis=-1)
+
+
+def irrep1_to_vector(u: jnp.ndarray) -> jnp.ndarray:
+    """l=1 irrep components (y, z, x) -> ambient vector (x, y, z).
+
+    Needed wherever an equivariant feature leaves irrep space and becomes a
+    geometric update (the score model's tr/rot heads).
+    """
+    return u[..., jnp.array([2, 0, 1])]
+
+
+def vector_to_irrep1(v: jnp.ndarray) -> jnp.ndarray:
+    """Ambient vector (x, y, z) -> l=1 irrep components (y, z, x)."""
+    return v[..., jnp.array([1, 2, 0])]

@@ -1,0 +1,70 @@
+"""Checkpoint save/load with a YAML config sidecar.
+
+Mirrors the reference's run-dir contract: a weights file plus a
+``model_parameters.yml`` holding the full config, from which downstream
+consumers re-hydrate the model (``train.py:213-215``, ``inference.py:146-150``).
+Weights are stored with flax msgpack serialization (orbax-compatible pytree
+layout; orbax is used for training state with optimizer/EMA, this module
+covers the light-weight inference contract).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import yaml
+
+from diffdock_tpu.diffusion.schedules import SigmaConfig
+from diffdock_tpu.models.config import ScoreModelConfig
+
+CONFIG_FILE = "model_parameters.yml"
+WEIGHTS_FILE = "model.msgpack"
+
+
+def _cfg_to_dict(cfg: ScoreModelConfig) -> Dict[str, Any]:
+    d = dataclasses.asdict(cfg)
+    return d
+
+
+def _cfg_from_dict(d: Dict[str, Any]) -> ScoreModelConfig:
+    d = dict(d)
+    sigma = d.pop("sigma", None)
+    if isinstance(sigma, dict):
+        d["sigma"] = SigmaConfig(**sigma)
+    known = {f.name for f in dataclasses.fields(ScoreModelConfig)}
+    return ScoreModelConfig(**{k: v for k, v in d.items() if k in known})
+
+
+def save_checkpoint(
+    run_dir: str,
+    params,
+    cfg: ScoreModelConfig,
+    extra: Optional[Dict[str, Any]] = None,
+    weights_name: str = WEIGHTS_FILE,
+) -> None:
+    from flax import serialization
+
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, CONFIG_FILE), "w") as f:
+        yaml.safe_dump(
+            {"model": _cfg_to_dict(cfg), **(extra or {})}, f, sort_keys=True
+        )
+    with open(os.path.join(run_dir, weights_name), "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_checkpoint(
+    run_dir: str, weights_name: str = WEIGHTS_FILE
+) -> Tuple[Any, ScoreModelConfig, Dict[str, Any]]:
+    """Returns (params, config, extra). ``params`` is a raw pytree of dicts;
+    pass it straight to ``model.apply``."""
+    from flax import serialization
+
+    with open(os.path.join(run_dir, CONFIG_FILE)) as f:
+        meta = yaml.safe_load(f)
+    cfg = _cfg_from_dict(meta.pop("model"))
+    with open(os.path.join(run_dir, weights_name), "rb") as f:
+        params = serialization.msgpack_restore(f.read())
+    return params, cfg, meta

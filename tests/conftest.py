@@ -21,8 +21,6 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
-# Persist compiled executables across test runs (big win for scan-heavy tests).
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".cache", "jax")
-os.makedirs(_cache_dir, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: do not enable the persistent compilation cache here — the axon
+# remote-compile service shares it and writes AOT results for a different
+# CPU feature set (SIGILL risk + load-error spam).
