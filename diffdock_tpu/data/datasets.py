@@ -1,0 +1,190 @@
+"""Datasets: featurized-complex caches and bucket-grouped batching.
+
+Replaces the reference's PyG dataset stack (``datasets/pdbbind.py:118-472``):
+host-side preprocessing of (protein, ligand) pairs into ``ComplexData``,
+cached as per-complex ``.npz`` shards under a parameter-keyed directory
+(same resumable-cache design as the reference's pickle shards,
+``pdbbind.py:157-257``), then batches grouped by padding bucket so every
+batch shares one jit compilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import os
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from diffdock_tpu.data.complexes import ComplexData, bucket_sizes, pad_to
+from diffdock_tpu.data.chem import read_molecule_file, read_pdb_file
+from diffdock_tpu.data.featurize import build_complex_data
+
+_FIELDS = ComplexData._fields
+
+
+def save_complex_npz(path: str, data: ComplexData) -> None:
+    np.savez_compressed(path, **{f: np.asarray(getattr(data, f)) for f in _FIELDS})
+
+
+def load_complex_npz(path: str) -> ComplexData:
+    with np.load(path) as z:
+        return ComplexData(**{f: z[f] for f in _FIELDS})
+
+
+@dataclasses.dataclass
+class ComplexSpec:
+    name: str
+    protein_path: str
+    ligand_path: str
+    lm_embedding_path: Optional[str] = None
+
+
+@dataclasses.dataclass
+class DatasetConfig:
+    cache_dir: str = "data/cache_tpu"
+    c_alpha_max_neighbors: int = 10
+    remove_hs: bool = True
+    max_lig_size: Optional[int] = None
+    max_receptor_size: Optional[int] = 3000  # reference hard cap
+    min_ligand_size: int = 0
+
+    def cache_key(self) -> str:
+        return hashlib.md5(repr(self).encode()).hexdigest()[:10]
+
+
+class ComplexDataset:
+    """Preprocess-once, load-fast dataset of featurized complexes."""
+
+    def __init__(self, specs: Sequence[ComplexSpec], cfg: DatasetConfig = DatasetConfig()):
+        self.specs = list(specs)
+        self.cfg = cfg
+        self.cache = Path(cfg.cache_dir) / f"complexes_{cfg.cache_key()}"
+        self.cache.mkdir(parents=True, exist_ok=True)
+        self._ok: List[ComplexSpec] = []
+        self._failures: Dict[str, str] = {}
+
+    def _path(self, name: str) -> Path:
+        return self.cache / f"{name}.npz"
+
+    def preprocess(self, num_workers: int = 0, verbose: bool = True) -> None:
+        """Featurize all complexes (idempotent; failures skip-and-continue,
+        matching the reference's fault tolerance, ``pdbbind.py:387-390``)."""
+        todo = [s for s in self.specs if not self._path(s.name).exists()]
+        if num_workers > 1 and todo:
+            import multiprocessing as mp
+
+            with mp.Pool(num_workers, maxtasksperchild=8) as pool:
+                results = pool.map(self._preprocess_one_safe, todo)
+            for spec, err in zip(todo, results):
+                if err:
+                    self._failures[spec.name] = err
+        else:
+            for spec in todo:
+                err = self._preprocess_one_safe(spec)
+                if err:
+                    self._failures[spec.name] = err
+                    if verbose:
+                        print(f"[dataset] {spec.name} failed: {err}")
+        self._ok = [
+            s for s in self.specs
+            if self._path(s.name).exists() and s.name not in self._failures
+        ]
+
+    def _preprocess_one_safe(self, spec: ComplexSpec) -> Optional[str]:
+        try:
+            self._preprocess_one(spec)
+            return None
+        except Exception as e:  # noqa: BLE001 — reference-style skip
+            return f"{type(e).__name__}: {e}"
+
+    def _preprocess_one(self, spec: ComplexSpec) -> None:
+        mol = read_molecule_file(spec.ligand_path)
+        protein = read_pdb_file(spec.protein_path)
+        lm = None
+        if spec.lm_embedding_path:
+            lm = np.load(spec.lm_embedding_path)
+            if hasattr(lm, "files"):
+                lm = lm[lm.files[0]]
+        data, heavy = build_complex_data(
+            mol, protein, lm,
+            c_alpha_max_neighbors=self.cfg.c_alpha_max_neighbors,
+            remove_hs=self.cfg.remove_hs,
+        )
+        if self.cfg.max_lig_size and data.n_lig > self.cfg.max_lig_size:
+            raise ValueError(f"ligand too large: {data.n_lig}")
+        if data.n_lig < max(self.cfg.min_ligand_size, 2):
+            raise ValueError(f"ligand too small: {data.n_lig}")
+        if self.cfg.max_receptor_size and data.n_rec > self.cfg.max_receptor_size:
+            raise ValueError(f"receptor too large: {data.n_rec}")
+        save_complex_npz(str(self._path(spec.name)), data)
+
+    # -- access --------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self._ok)
+
+    @property
+    def names(self) -> List[str]:
+        return [s.name for s in self._ok]
+
+    def get(self, name: str) -> ComplexData:
+        return load_complex_npz(str(self._path(name)))
+
+    def bucketed_batches(
+        self,
+        batch_size: int,
+        shuffle_seed: Optional[int] = None,
+        drop_last: bool = False,
+    ) -> Iterator[Tuple[List[str], ComplexData]]:
+        """Yield (names, stacked ComplexData) with every member padded to the
+        batch's common bucket."""
+        names = list(self.names)
+        if shuffle_seed is not None:
+            np.random.RandomState(shuffle_seed).shuffle(names)
+
+        buckets: Dict[Tuple[int, int, int], List[str]] = {}
+        for name in names:
+            d = self.get(name)
+            b = bucket_sizes(d.n_lig, d.n_rec, d.n_bonds)
+            buckets.setdefault(b, []).append(name)
+
+        for (nl, nr, nb), members in buckets.items():
+            for i in range(0, len(members), batch_size):
+                chunk = members[i : i + batch_size]
+                if drop_last and len(chunk) < batch_size:
+                    continue
+                datas = [pad_to(self.get(n), nl, nr, nb) for n in chunk]
+                stacked = ComplexData(
+                    *[
+                        np.stack([np.asarray(getattr(d, f)) for d in datas])
+                        for f in _FIELDS
+                    ]
+                )
+                yield chunk, stacked
+
+
+def pdbbind_specs(
+    root: str, split_file: Optional[str] = None, protein_suffix: str = "_protein_processed.pdb",
+    ligand_suffix: str = "_ligand.sdf", esm_embeddings_dir: Optional[str] = None,
+) -> List[ComplexSpec]:
+    """Specs for the reference PDBBind directory layout
+    (``data/PDBBind_processed/<name>/<name>_protein_processed.pdb`` ...)."""
+    if split_file:
+        with open(split_file) as f:
+            names = [ln.strip() for ln in f if ln.strip()]
+    else:
+        names = sorted(os.listdir(root))
+    specs = []
+    for name in names:
+        pdir = os.path.join(root, name)
+        p = os.path.join(pdir, name + protein_suffix)
+        l = os.path.join(pdir, name + ligand_suffix)
+        if os.path.exists(p) and os.path.exists(l):
+            lm = None
+            if esm_embeddings_dir:
+                cand = os.path.join(esm_embeddings_dir, f"{name}.npy")
+                lm = cand if os.path.exists(cand) else None
+            specs.append(ComplexSpec(name, p, l, lm))
+    return specs

@@ -59,6 +59,10 @@ class ScoreModelConfig:
     # grouped conv FCs per edge type (reference differentiate_convolutions)
     differentiate_convolutions: bool = True
 
+    # vmap/shard_map axis names over which batch-norm statistics aggregate
+    # during training (set by the trainer; empty for inference)
+    bn_axis_names: Tuple[str, ...] = ()
+
     sigma: SigmaConfig = SigmaConfig()
 
     @property

@@ -158,6 +158,7 @@ class CGScoreModel(nn.Module):
             batch_norm=cfg.batch_norm,
             dropout=cfg.dropout,
             tp_weights_layers=cfg.tp_weights_layers,
+            bn_axis_names=tuple(cfg.bn_axis_names),
         )
         sh_irreps = str(Irreps.spherical_harmonics(cfg.sh_lmax))
 
@@ -203,7 +204,8 @@ class CGScoreModel(nn.Module):
                 in_irreps=self.final_ladder, sh_irreps=sh_irreps,
                 out_irreps="2x1o + 2x1e", n_edge_features=2 * ns,
                 residual=False, batch_norm=cfg.batch_norm, dropout=cfg.dropout,
-                shared_fc=True, name="final_conv",
+                shared_fc=True, bn_axis_names=tuple(cfg.bn_axis_names),
+                name="final_conv",
             )
             self.tr_final_layer = FinalNormLayer(ns, cfg.dropout)
             self.rot_final_layer = FinalNormLayer(ns, cfg.dropout)
@@ -216,7 +218,9 @@ class CGScoreModel(nn.Module):
                     sh_irreps=str(self.final_tp_tor.irreps_out),
                     out_irreps=f"{ns}x0o + {ns}x0e", n_edge_features=3 * ns,
                     residual=False, batch_norm=cfg.batch_norm,
-                    dropout=cfg.dropout, shared_fc=True, name="tor_bond_conv",
+                    dropout=cfg.dropout, shared_fc=True,
+                    bn_axis_names=tuple(cfg.bn_axis_names),
+                    name="tor_bond_conv",
                 )
                 self.tor_final_dense1 = nn.Dense(ns, use_bias=False)
                 self.tor_final_dense2 = nn.Dense(1, use_bias=False)

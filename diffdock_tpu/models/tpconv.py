@@ -77,6 +77,7 @@ class TPConvLayer(nn.Module):
     hidden_features: Optional[int] = None
     tp_weights_layers: int = 2
     activation: str = "relu"
+    bn_axis_names: tuple = ()
 
     @nn.compact
     def __call__(
@@ -111,9 +112,9 @@ class TPConvLayer(nn.Module):
         out = multi_group_mean(parts, masks)
 
         if self.batch_norm:
-            out = IrrepsBatchNorm(Irreps(self.out_irreps), name="bn")(
-                out, mask=receiver_mask, train=train
-            )
+            out = IrrepsBatchNorm(
+                Irreps(self.out_irreps), axis_names=self.bn_axis_names, name="bn"
+            )(out, mask=receiver_mask, train=train)
         if self.residual:
             assert receiver_attr is not None
             out = _residual_pad(out, receiver_attr)
@@ -146,6 +147,7 @@ class JointTPConvLayer(nn.Module):
     hidden_features: Optional[int] = None
     tp_weights_layers: int = 2
     activation: str = "relu"
+    bn_axis_names: tuple = ()
 
     @nn.compact
     def __call__(
@@ -200,9 +202,9 @@ class JointTPConvLayer(nn.Module):
         out = jnp.concatenate([lig_out, rec_out], axis=0)
         if self.batch_norm:
             mask = jnp.concatenate([lig_mask, rec_mask], axis=0)
-            out = IrrepsBatchNorm(Irreps(self.out_irreps), name="bn")(
-                out, mask=mask, train=train
-            )
+            out = IrrepsBatchNorm(
+                Irreps(self.out_irreps), axis_names=self.bn_axis_names, name="bn"
+            )(out, mask=mask, train=train)
         if self.residual:
             out = _residual_pad(out, jnp.concatenate([lig_attr, rec_attr], axis=0))
 

@@ -11,16 +11,28 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from diffdock_tpu.ops.irreps import Irreps
 
 
 class IrrepsBatchNorm(nn.Module):
+    """``axis_names``: vmap/shard_map axis names to aggregate batch statistics
+    over (so a per-complex ``vmap`` still computes reference-equivalent
+    whole-batch statistics during training)."""
+
     irreps: Irreps
     eps: float = 1e-5
     momentum: float = 0.1
     affine: bool = True
+    axis_names: tuple = ()
+
+    def _agg(self, num: jnp.ndarray, den) -> jnp.ndarray:
+        for ax in self.axis_names:
+            num = jax.lax.psum(num, ax)
+            den = jax.lax.psum(den, ax)
+        return num / den
 
     @nn.compact
     def __call__(
@@ -60,7 +72,7 @@ class IrrepsBatchNorm(nn.Module):
 
             if is_scalar:
                 if train:
-                    fmean = (field[..., 0] * m[:, None]).sum(0) / denom
+                    fmean = self._agg((field[..., 0] * m[:, None]).sum(0), denom)
                     new_means.append(fmean)
                 else:
                     fmean = running_mean.value[i_mean : i_mean + e.mul]
@@ -68,7 +80,7 @@ class IrrepsBatchNorm(nn.Module):
 
             if train:
                 fnorm = (field**2).mean(-1)  # component normalization
-                fnorm = (fnorm * m[:, None]).sum(0) / denom  # reduce='mean'
+                fnorm = self._agg((fnorm * m[:, None]).sum(0), denom)  # 'mean'
                 new_vars.append(fnorm)
             else:
                 fnorm = running_var.value[i_feat : i_feat + e.mul]

@@ -55,16 +55,32 @@ def save_checkpoint(
         f.write(serialization.to_bytes(params))
 
 
+_WEIGHT_PREFERENCE = (
+    WEIGHTS_FILE,
+    "best_ema_model.msgpack",
+    "best_model.msgpack",
+    "last_ema_model.msgpack",
+    "last_model.msgpack",
+)
+
+
 def load_checkpoint(
-    run_dir: str, weights_name: str = WEIGHTS_FILE
+    run_dir: str, weights_name: Optional[str] = None
 ) -> Tuple[Any, ScoreModelConfig, Dict[str, Any]]:
     """Returns (params, config, extra). ``params`` is a raw pytree of dicts;
-    pass it straight to ``model.apply``."""
+    pass it straight to ``model.apply``. When ``weights_name`` is omitted the
+    best available flavor is picked (EMA preferred, mirroring the reference's
+    default of ``best_ema_inference_epoch_model.pt``)."""
     from flax import serialization
 
     with open(os.path.join(run_dir, CONFIG_FILE)) as f:
         meta = yaml.safe_load(f)
     cfg = _cfg_from_dict(meta.pop("model"))
-    with open(os.path.join(run_dir, weights_name), "rb") as f:
-        params = serialization.msgpack_restore(f.read())
-    return params, cfg, meta
+    candidates = (weights_name,) if weights_name else _WEIGHT_PREFERENCE
+    for name in candidates:
+        path = os.path.join(run_dir, name)
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                params = serialization.msgpack_restore(f.read())
+            return params, cfg, meta
+    raise FileNotFoundError(f"no weights found in {run_dir} (tried {candidates})")

@@ -1,0 +1,76 @@
+"""Evaluation plane: symmetry RMSD and metric table."""
+
+import numpy as np
+
+from diffdock_tpu.eval.metrics import compute_metric_table, min_self_distances
+from diffdock_tpu.eval.rmsd import molecular_automorphisms, simple_rmsd, symmetry_rmsd
+
+
+def test_benzene_symmetry_rmsd():
+    """A rotated benzene ring must have ~0 symmetry-corrected RMSD even
+    though plain RMSD is large."""
+    n = 6
+    ang = np.arange(n) * np.pi / 3
+    ring = np.stack([np.cos(ang), np.sin(ang), np.zeros(n)], axis=1)
+    elements = ["C"] * n
+    bonds = [(i, (i + 1) % n) for i in range(n)]
+
+    # rotate by one ring position (60 degrees) — a graph automorphism
+    rot = np.array(
+        [[np.cos(np.pi / 3), -np.sin(np.pi / 3), 0],
+         [np.sin(np.pi / 3), np.cos(np.pi / 3), 0],
+         [0, 0, 1]]
+    )
+    pose = ring @ rot.T
+
+    plain = simple_rmsd(ring, pose)
+    sym = symmetry_rmsd(ring, pose, elements, bonds)
+    assert plain > 0.5
+    assert sym < 1e-6
+
+    perms = molecular_automorphisms(elements, bonds)
+    assert len(perms) == 12  # dihedral group of the hexagon
+
+
+def test_heteroatoms_restrict_automorphisms():
+    # pyridine-like: one N breaks most symmetries
+    n = 6
+    ang = np.arange(n) * np.pi / 3
+    ring = np.stack([np.cos(ang), np.sin(ang), np.zeros(n)], axis=1)
+    elements = ["N"] + ["C"] * 5
+    bonds = [(i, (i + 1) % n) for i in range(n)]
+    perms = molecular_automorphisms(elements, bonds)
+    assert len(perms) == 2  # identity + mirror through the N
+
+
+def test_symmetry_rmsd_batched():
+    n = 6
+    ang = np.arange(n) * np.pi / 3
+    ring = np.stack([np.cos(ang), np.sin(ang), np.zeros(n)], axis=1)
+    poses = np.stack([ring, ring + 1.0])
+    out = symmetry_rmsd(ring, poses, ["C"] * n, [(i, (i + 1) % n) for i in range(n)])
+    assert out.shape == (2,)
+    assert out[0] < 1e-6
+    np.testing.assert_allclose(out[1], np.sqrt(3.0), atol=1e-5)
+
+
+def test_metric_table():
+    rmsds = np.array(
+        [
+            [1.0, 3.0, 8.0],  # top1 hit
+            [4.0, 1.5, 9.0],  # top1 miss, min hit
+            [6.0, 7.0, 8.0],  # all miss
+        ]
+    )
+    t = compute_metric_table(rmsds)
+    np.testing.assert_allclose(t["rmsds_below_2"], 100 / 3)
+    np.testing.assert_allclose(t["rmsds_below_5"], 200 / 3)
+    np.testing.assert_allclose(t["min_rmsds_below_2"], 200 / 3)
+    assert "top5_rmsds_below_2" not in t  # only 3 poses
+
+
+def test_min_self_distance():
+    pose = np.array([[0, 0, 0], [1.5, 0, 0], [0.2, 0, 0]], float)
+    bonds = [(0, 1, 1)]
+    # atoms 0 and 2 are non-bonded and 0.2 apart
+    np.testing.assert_allclose(min_self_distances(pose, bonds), 0.2, atol=1e-9)
