@@ -63,6 +63,55 @@ class ComplexData(NamedTuple):
         return self.rot_u.shape[0]
 
 
+class AAComplexData(NamedTuple):
+    """All-atom complex: the coarse-grained schema plus receptor heavy atoms
+    (the reference's third node type 'atom', ``models/aa_model.py``)."""
+
+    base: ComplexData
+    atom_cat: jnp.ndarray  # (NA, 4) int32 (aa, atomic_num, type2, type3)
+    atom_mask: jnp.ndarray  # (NA,) bool
+    atom_pos: jnp.ndarray  # (NA, 3) f32 (receptor-centered)
+    atom_nbr: jnp.ndarray  # (NA, KA) int32 atom-atom kNN
+    atom_nbr_mask: jnp.ndarray  # (NA, KA) bool
+    atom_res: jnp.ndarray  # (NA,) int32 parent residue index
+    res_atom_idx: jnp.ndarray  # (NR, KRA) int32 atoms of each residue
+    res_atom_mask: jnp.ndarray  # (NR, KRA) bool
+
+    @property
+    def n_atoms(self) -> int:
+        return self.atom_cat.shape[0]
+
+
+def pad_aa_to(
+    data: AAComplexData, nl: int, nr: int, nb: int, na: int
+) -> AAComplexData:
+    def pad(a, rows, fill=0):
+        a = np.asarray(a)
+        width = [(0, rows - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, width, constant_values=fill)
+
+    base = pad_to(data.base, nl, nr, nb)
+    cur_nr = np.asarray(data.res_atom_idx).shape[0]
+    res_atom_idx = np.pad(
+        np.asarray(data.res_atom_idx), [(0, nr - cur_nr), (0, 0)]
+    )
+    res_atom_mask = np.pad(
+        np.asarray(data.res_atom_mask), [(0, nr - cur_nr), (0, 0)],
+        constant_values=False,
+    )
+    return AAComplexData(
+        base=base,
+        atom_cat=pad(data.atom_cat, na),
+        atom_mask=pad(data.atom_mask, na, False),
+        atom_pos=pad(data.atom_pos, na),
+        atom_nbr=pad(data.atom_nbr, na),
+        atom_nbr_mask=pad(data.atom_nbr_mask, na, False),
+        atom_res=pad(data.atom_res, na),
+        res_atom_idx=res_atom_idx,
+        res_atom_mask=res_atom_mask,
+    )
+
+
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
@@ -133,6 +182,47 @@ def build_knn_neighbors(
     if max_radius is not None:
         mask &= dist <= max_radius
     return idx.astype(np.int32), mask
+
+
+def synthetic_aa_complex(
+    rng: np.random.RandomState,
+    n_lig: int = 12,
+    n_rec: int = 16,
+    n_bonds: int = 3,
+    atoms_per_res: int = 4,
+    lm_dim: int = 0,
+    k_atom: int = 6,
+) -> "AAComplexData":
+    """Random all-atom complex: each residue gets a few heavy atoms near its
+    C-alpha."""
+    from diffdock_tpu.data.featurize import REC_ATOM_CATEGORICAL_DIMS
+
+    base = synthetic_complex(
+        rng, n_lig=n_lig, n_rec=n_rec, n_bonds=n_bonds, lm_dim=lm_dim
+    )
+    na = n_rec * atoms_per_res
+    atom_res = np.repeat(np.arange(n_rec), atoms_per_res).astype(np.int32)
+    atom_pos = (
+        np.asarray(base.rec_pos)[atom_res]
+        + rng.randn(na, 3).astype(np.float32) * 1.5
+    )
+    atom_cat = np.stack(
+        [rng.randint(0, d, size=na) for d in REC_ATOM_CATEGORICAL_DIMS], axis=1
+    ).astype(np.int32)
+    atom_nbr, atom_nbr_mask = build_knn_neighbors(atom_pos, k_atom)
+    res_atom_idx = np.arange(na).reshape(n_rec, atoms_per_res).astype(np.int32)
+    res_atom_mask = np.ones((n_rec, atoms_per_res), bool)
+    return AAComplexData(
+        base=base,
+        atom_cat=atom_cat,
+        atom_mask=np.ones(na, bool),
+        atom_pos=atom_pos,
+        atom_nbr=atom_nbr,
+        atom_nbr_mask=atom_nbr_mask,
+        atom_res=atom_res,
+        res_atom_idx=res_atom_idx,
+        res_atom_mask=res_atom_mask,
+    )
 
 
 def synthetic_complex(

@@ -236,7 +236,7 @@ def build_complex_data(
         )
 
     nb = len(rot_edges)
-    return ComplexData(
+    complex_data = ComplexData(
         lig_cat=lig_cat,
         lig_mask=np.ones(n, bool),
         lig_pos=np.asarray(mol.coords, np.float32) - center,
@@ -254,4 +254,85 @@ def build_complex_data(
         rec_nbr=rec_nbr,
         rec_nbr_mask=rec_nbr_mask,
         original_center=center.astype(np.float32),
-    ), mol
+    )
+    return complex_data, mol
+
+
+def _atom_type2(name: str) -> str:
+    """Collapse an atom name to the reference's type-2 vocabulary
+    ('CA', 'ND', ... else 'C*'-style wildcards)."""
+    f = ALLOWABLE_FEATURES["possible_atom_type_2"]
+    if name[:2] in f:
+        return name[:2]
+    wild = name[:1] + "*"
+    return wild if wild in f else "misc"
+
+
+def build_aa_complex_data(
+    mol,
+    protein,
+    lm_embeddings=None,
+    c_alpha_max_neighbors: int = 10,
+    atom_max_neighbors: int = 8,
+    remove_hs: bool = True,
+    max_atoms_per_residue: int = 14,
+):
+    """Assemble an all-atom complex (ligand + residues + receptor heavy
+    atoms) for the AA model (reference atom featurization
+    ``process_mols.py:244-276``, atom graphs ``models/aa_model.py:573-640``).
+    """
+    import numpy as np
+
+    from diffdock_tpu.data.chem import ATOMIC_NUM
+    from diffdock_tpu.data.complexes import AAComplexData, build_knn_neighbors
+
+    base, heavy = build_complex_data(
+        mol, protein, lm_embeddings,
+        c_alpha_max_neighbors=c_alpha_max_neighbors, remove_hs=remove_hs,
+    )
+    center = np.asarray(base.original_center)
+
+    residues = protein.residues_with_ca()
+    f = ALLOWABLE_FEATURES
+    atom_cat, atom_pos, atom_res = [], [], []
+    res_atoms: list = [[] for _ in residues]
+    for ri, res in enumerate(residues):
+        aa_idx = safe_index(f["possible_amino_acids"], res.name)
+        for name, xyz in res.atoms.items():
+            el = res.elements.get(name) or name[:1]
+            if el == "H":
+                continue
+            atom_idx = len(atom_pos)
+            atom_cat.append([
+                aa_idx,
+                safe_index(f["possible_atomic_num_list"], ATOMIC_NUM.get(el, 0)),
+                safe_index(f["possible_atom_type_2"], _atom_type2(name)),
+                safe_index(f["possible_atom_type_3"], name),
+            ])
+            atom_pos.append(np.asarray(xyz, np.float32) - center)
+            atom_res.append(ri)
+            if len(res_atoms[ri]) < max_atoms_per_residue:
+                res_atoms[ri].append(atom_idx)
+
+    atom_pos = np.asarray(atom_pos, np.float32).reshape(-1, 3)
+    na = atom_pos.shape[0]
+    atom_nbr, atom_nbr_mask = build_knn_neighbors(atom_pos, atom_max_neighbors)
+
+    nr = len(residues)
+    res_atom_idx = np.zeros((nr, max_atoms_per_residue), np.int32)
+    res_atom_mask = np.zeros((nr, max_atoms_per_residue), bool)
+    for ri, atoms in enumerate(res_atoms):
+        res_atom_idx[ri, : len(atoms)] = atoms
+        res_atom_mask[ri, : len(atoms)] = True
+
+    return AAComplexData(
+        base=base,
+        atom_cat=np.asarray(atom_cat, np.int32).reshape(na, 4),
+        atom_mask=np.ones(na, bool),
+        atom_pos=atom_pos,
+        atom_nbr=atom_nbr,
+        atom_nbr_mask=atom_nbr_mask,
+        atom_res=np.asarray(atom_res, np.int32),
+        res_atom_idx=res_atom_idx,
+        res_atom_mask=res_atom_mask,
+    ), heavy

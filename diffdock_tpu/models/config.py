@@ -63,6 +63,11 @@ class ScoreModelConfig:
     # during training (set by the trainer; empty for inference)
     bn_axis_names: Tuple[str, ...] = ()
 
+    # factored tensor-product convolutions (reduce over neighbors before
+    # applying weight tensors) — exact reassociation, much faster on TPU;
+    # the naive per-edge path is kept for cross-validation
+    factored_tp: bool = True
+
     sigma: SigmaConfig = SigmaConfig()
 
     @property

@@ -10,7 +10,13 @@ import numpy as np
 
 
 class FCBlock(nn.Module):
-    """MLP emitting tensor-product weights (reference ``models/layers.py:10``)."""
+    """MLP emitting tensor-product weights (reference ``models/layers.py:10``).
+
+    The output layer's kernel/bias are direct parameters (not a Dense
+    submodule) so the factored tensor-product path can contract them AFTER
+    the neighbor reduction — see ``models/tpconv.py``. ``__call__`` is
+    mathematically identical to the reference Sequential.
+    """
 
     hidden_dim: int
     out_dim: int
@@ -18,15 +24,36 @@ class FCBlock(nn.Module):
     dropout: float = 0.0
     activation: str = "relu"
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def setup(self):
         assert self.layers >= 2
+        self.hidden_layers = [
+            nn.Dense(self.hidden_dim, name=f"Dense_{i}")
+            for i in range(self.layers - 1)
+        ]
+        self.dropouts = [
+            nn.Dropout(self.dropout, name=f"drop_{i}")
+            for i in range(self.layers - 1)
+        ]
+        self.out_kernel = self.param(
+            "out_kernel",
+            nn.initializers.lecun_normal(),
+            (self.hidden_dim, self.out_dim),
+        )
+        self.out_bias = self.param(
+            "out_bias", nn.initializers.zeros, (self.out_dim,)
+        )
+
+    def hidden(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         act = {"relu": nn.relu, "silu": nn.silu}[self.activation]
-        for _ in range(self.layers - 1):
-            x = nn.Dense(self.hidden_dim)(x)
+        for layer, drop in zip(self.hidden_layers, self.dropouts):
+            x = layer(x)
             x = act(x)
-            x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return nn.Dense(self.out_dim)(x)
+            x = drop(x, deterministic=not train)
+        return x
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        h = self.hidden(x, train=train)
+        return h @ self.out_kernel + self.out_bias
 
 
 class GaussianSmearing(nn.Module):

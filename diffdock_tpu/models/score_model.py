@@ -110,7 +110,27 @@ def _pairwise(sender_pos: jnp.ndarray, receiver_pos: jnp.ndarray):
 class CGScoreModel(nn.Module):
     cfg: ScoreModelConfig
 
-    def setup(self):
+    # ------------------------------------------------------------------
+    # setup, split so the all-atom subclass can share everything except the
+    # receptor-side graph modules
+    # ------------------------------------------------------------------
+    def _ladder(self, i):
+        seq = self.irrep_seq
+        return seq[min(i, len(seq) - 1)]
+
+    def _conv_common(self):
+        cfg = self.cfg
+        return dict(
+            n_edge_features=3 * cfg.ns,
+            hidden_features=3 * cfg.ns,
+            batch_norm=cfg.batch_norm,
+            dropout=cfg.dropout,
+            tp_weights_layers=cfg.tp_weights_layers,
+            bn_axis_names=tuple(cfg.bn_axis_names),
+            factored=cfg.factored_tp,
+        )
+
+    def _setup_base(self):
         cfg = self.cfg
         ns, nv = cfg.ns, cfg.nv
         assert not cfg.odd_parity, "odd_parity not supported yet"
@@ -118,6 +138,7 @@ class CGScoreModel(nn.Module):
         self.irrep_seq = get_irrep_seq(
             ns, nv, cfg.use_second_order_repr, cfg.reduce_pseudoscalars
         )
+        self.sh_irreps_str = str(Irreps.spherical_harmonics(cfg.sh_lmax))
         self.timestep_emb = get_timestep_embedding(
             cfg.embedding_type, cfg.sigma_embed_dim, cfg.embedding_scale
         )
@@ -147,84 +168,79 @@ class CGScoreModel(nn.Module):
             0.0, cfg.cross_max_distance, cfg.cross_distance_embed_dim
         )
 
-        seq = self.irrep_seq
-
-        def ladder(i):
-            return seq[min(i, len(seq) - 1)]
-
-        common = dict(
-            n_edge_features=3 * ns,
-            hidden_features=3 * ns,
-            batch_norm=cfg.batch_norm,
-            dropout=cfg.dropout,
-            tp_weights_layers=cfg.tp_weights_layers,
-            bn_axis_names=tuple(cfg.bn_axis_names),
-        )
-        sh_irreps = str(Irreps.spherical_harmonics(cfg.sh_lmax))
-
-        self.rec_emb_layers = [
-            TPConvLayer(
-                in_irreps=ladder(i), sh_irreps=sh_irreps, out_irreps=ladder(i + 1),
-                residual=True, shared_fc=True, name=f"rec_emb_{i}", **common,
-            )
-            for i in range(cfg.num_prot_emb_layers)
-        ]
         if cfg.embed_also_ligand:
             self.lig_emb_layers = [
                 TPConvLayer(
-                    in_irreps=ladder(i), sh_irreps=sh_irreps,
-                    out_irreps=ladder(i + 1),
-                    residual=True, shared_fc=True, name=f"lig_emb_{i}", **common,
+                    in_irreps=self._ladder(i), sh_irreps=self.sh_irreps_str,
+                    out_irreps=self._ladder(i + 1),
+                    residual=True, shared_fc=True, name=f"lig_emb_{i}",
+                    **self._conv_common(),
                 )
                 for i in range(cfg.num_prot_emb_layers)
             ]
 
-        n_joint = cfg.num_conv_layers
-        npe = cfg.num_prot_emb_layers
-        self.conv_layers = [
-            JointTPConvLayer(
-                in_irreps=ladder(npe + i), sh_irreps=sh_irreps,
-                out_irreps=ladder(npe + i + 1),
-                last_layer=(i == n_joint - 1),
-                differentiate_convolutions=cfg.differentiate_convolutions,
-                residual=True, name=f"conv_{i}", **common,
-            )
-            for i in range(n_joint)
-        ]
-        self.final_ladder = ladder(npe + n_joint)
-
+        npe, n_joint = cfg.num_prot_emb_layers, cfg.num_conv_layers
+        self.final_ladder = self._ladder(npe + n_joint)
         if cfg.confidence_mode:
             self.confidence_layers = self._build_confidence_mlp()
         else:
-            self.center_distance_expansion = GaussianSmearing(
-                0.0, cfg.center_max_distance, cfg.distance_embed_dim
-            )
-            self.center_edge_embedding = MLP2(ns, cfg.dropout)
-            self.final_conv = TPConvLayer(
-                in_irreps=self.final_ladder, sh_irreps=sh_irreps,
-                out_irreps="2x1o + 2x1e", n_edge_features=2 * ns,
-                residual=False, batch_norm=cfg.batch_norm, dropout=cfg.dropout,
-                shared_fc=True, bn_axis_names=tuple(cfg.bn_axis_names),
-                name="final_conv",
-            )
-            self.tr_final_layer = FinalNormLayer(ns, cfg.dropout)
-            self.rot_final_layer = FinalNormLayer(ns, cfg.dropout)
+            self._setup_score_heads()
 
-            if not cfg.no_torsion:
-                self.final_edge_embedding = MLP2(ns, cfg.dropout)
-                self.final_tp_tor = FullTensorProduct(sh_irreps, "2e")
-                self.tor_bond_conv = TPConvLayer(
-                    in_irreps=self.final_ladder,
-                    sh_irreps=str(self.final_tp_tor.irreps_out),
-                    out_irreps=f"{ns}x0o + {ns}x0e", n_edge_features=3 * ns,
-                    residual=False, batch_norm=cfg.batch_norm,
-                    dropout=cfg.dropout, shared_fc=True,
-                    bn_axis_names=tuple(cfg.bn_axis_names),
-                    name="tor_bond_conv",
-                )
-                self.tor_final_dense1 = nn.Dense(ns, use_bias=False)
-                self.tor_final_dense2 = nn.Dense(1, use_bias=False)
-                self.tor_dropout = nn.Dropout(cfg.dropout)
+    def _setup_score_heads(self):
+        cfg = self.cfg
+        ns = cfg.ns
+        self.center_distance_expansion = GaussianSmearing(
+            0.0, cfg.center_max_distance, cfg.distance_embed_dim
+        )
+        self.center_edge_embedding = MLP2(ns, cfg.dropout)
+        self.final_conv = TPConvLayer(
+            in_irreps=self.final_ladder, sh_irreps=self.sh_irreps_str,
+            out_irreps="2x1o + 2x1e", n_edge_features=2 * ns,
+            residual=False, batch_norm=cfg.batch_norm, dropout=cfg.dropout,
+            shared_fc=True, bn_axis_names=tuple(cfg.bn_axis_names),
+            factored=cfg.factored_tp, name="final_conv",
+        )
+        self.tr_final_layer = FinalNormLayer(ns, cfg.dropout)
+        self.rot_final_layer = FinalNormLayer(ns, cfg.dropout)
+        if not cfg.no_torsion:
+            self.final_edge_embedding = MLP2(ns, cfg.dropout)
+            self.final_tp_tor = FullTensorProduct(self.sh_irreps_str, "2e")
+            self.tor_bond_conv = TPConvLayer(
+                in_irreps=self.final_ladder,
+                sh_irreps=str(self.final_tp_tor.irreps_out),
+                out_irreps=f"{ns}x0o + {ns}x0e", n_edge_features=3 * ns,
+                residual=False, batch_norm=cfg.batch_norm,
+                dropout=cfg.dropout, shared_fc=True,
+                bn_axis_names=tuple(cfg.bn_axis_names),
+                factored=cfg.factored_tp, name="tor_bond_conv",
+            )
+            self.tor_final_dense1 = nn.Dense(ns, use_bias=False)
+            self.tor_final_dense2 = nn.Dense(1, use_bias=False)
+            self.tor_dropout = nn.Dropout(cfg.dropout)
+
+    def setup(self):
+        cfg = self.cfg
+        self._setup_base()
+        self.rec_emb_layers = [
+            TPConvLayer(
+                in_irreps=self._ladder(i), sh_irreps=self.sh_irreps_str,
+                out_irreps=self._ladder(i + 1),
+                residual=True, shared_fc=True, name=f"rec_emb_{i}",
+                **self._conv_common(),
+            )
+            for i in range(cfg.num_prot_emb_layers)
+        ]
+        npe, n_joint = cfg.num_prot_emb_layers, cfg.num_conv_layers
+        self.conv_layers = [
+            JointTPConvLayer(
+                in_irreps=self._ladder(npe + i), sh_irreps=self.sh_irreps_str,
+                out_irreps=self._ladder(npe + i + 1),
+                last_layer=(i == n_joint - 1),
+                differentiate_convolutions=cfg.differentiate_convolutions,
+                residual=True, name=f"conv_{i}", **self._conv_common(),
+            )
+            for i in range(n_joint)
+        ]
 
     def _build_confidence_mlp(self):
         cfg = self.cfg

@@ -23,6 +23,7 @@ from typing import List, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from diffdock_tpu.models.encoders import FCBlock
 from diffdock_tpu.ops.batch_norm import IrrepsBatchNorm
@@ -60,6 +61,62 @@ def _tp_message(tp, fc, blk: NeighborBlock, train: bool):
     return tp(x_nbr, blk.edge_sh, w)  # (R, K, out_dim)
 
 
+def _tp_message_reduced(tp, fc, blk: NeighborBlock, train: bool):
+    """Factored message computation: reduce over neighbors BEFORE applying
+    the weight-generating FC's last (linear) layer.
+
+    Exact reassociation of fc+tp+sum: with per-edge hidden activations
+    h[r,j,:] (fan-out H), last-layer kernel T[H, fan*mul] and bias b, and the
+    weight-independent coupled tensor G[r,j,u,d] per output irrep,
+
+        sum_j TP(x_j, sh_j, h_j @ T + b)
+          = einsum('hud,huw->wd', einsum('rjh,rjud->rhud', h, G), T)
+          + einsum('rud,uw->rwd', einsum('rj,rjud->rud', 1, G), b)
+
+    This avoids materializing the (edges, weight_numel) tensor — the HBM
+    blow-up of the naive path — and cuts the contraction FLOPs by
+    ~mul_out/d3 (an order of magnitude at DiffDock-L scale).
+
+    Returns (summed_messages (R, out_dim), valid_counts (R,)).
+    """
+    mask = blk.nbr_mask.astype(blk.edge_attr.dtype)  # (R, K)
+    mw = mask if blk.edge_weight is None else mask * blk.edge_weight
+    h = fc.hidden(blk.edge_attr, train=train) * mw[..., None]  # (R, K, H)
+    x_nbr = blk.sender_attr[blk.nbr_idx]  # (R, K, F_in)
+
+    outs = []
+    for k, ((offset, fan, mul), ek) in enumerate(
+        zip(tp.weight_slices(), tp.irreps_out)
+    ):
+        if fan == 0:
+            outs.append(
+                jnp.zeros(blk.nbr_idx.shape[:-1] + (ek.dim,), h.dtype)
+            )
+            continue
+        coupled = tp.coupled_class(k, x_nbr, blk.edge_sh)  # (R, K, fan, d3)
+        p_h = jnp.einsum("rkh,rkud->rhud", h, coupled)
+        p_b = jnp.einsum("rk,rkud->rud", mw, coupled)
+        t_k = fc.out_kernel[:, offset : offset + fan * mul].reshape(
+            fc.out_kernel.shape[0], fan, mul
+        )
+        b_k = fc.out_bias[offset : offset + fan * mul].reshape(fan, mul)
+        out_k = (
+            jnp.einsum("rhud,huw->rwd", p_h, t_k)
+            + jnp.einsum("rud,uw->rwd", p_b, b_k)
+        ) / jnp.sqrt(jnp.asarray(fan, h.dtype))
+        outs.append(out_k.reshape(out_k.shape[:-2] + (ek.dim,)))
+    summed = jnp.concatenate(outs, axis=-1)
+    counts = mask.sum(axis=-1)
+    return summed, counts
+
+
+def _combine_reduced(parts, eps: float = 1e-16):
+    """Mean over several (sum, count) neighbor blocks per receiver."""
+    total = sum(p[0] for p in parts)
+    counts = sum(p[1] for p in parts)
+    return total / jnp.maximum(counts[..., None], eps)
+
+
 def _residual_pad(out: jnp.ndarray, attr: jnp.ndarray) -> jnp.ndarray:
     pad = out.shape[-1] - attr.shape[-1]
     return out + jnp.pad(attr, [(0, 0)] * (out.ndim - 1) + [(0, pad)])
@@ -78,6 +135,7 @@ class TPConvLayer(nn.Module):
     tp_weights_layers: int = 2
     activation: str = "relu"
     bn_axis_names: tuple = ()
+    factored: bool = True
 
     @nn.compact
     def __call__(
@@ -103,13 +161,19 @@ class TPConvLayer(nn.Module):
             )
 
         shared = make_fc("fc") if self.shared_fc else None
-        parts, masks = [], []
-        for g, blk in enumerate(blocks):
-            fc = shared if self.shared_fc else make_fc(f"fc_{g}")
-            parts.append(_tp_message(tp, fc, blk, train))
-            masks.append(blk.nbr_mask)
-
-        out = multi_group_mean(parts, masks)
+        if self.factored:
+            parts = []
+            for g, blk in enumerate(blocks):
+                fc = shared if self.shared_fc else make_fc(f"fc_{g}")
+                parts.append(_tp_message_reduced(tp, fc, blk, train))
+            out = _combine_reduced(parts)
+        else:
+            parts, masks = [], []
+            for g, blk in enumerate(blocks):
+                fc = shared if self.shared_fc else make_fc(f"fc_{g}")
+                parts.append(_tp_message(tp, fc, blk, train))
+                masks.append(blk.nbr_mask)
+            out = multi_group_mean(parts, masks)
 
         if self.batch_norm:
             out = IrrepsBatchNorm(
@@ -119,6 +183,86 @@ class TPConvLayer(nn.Module):
             assert receiver_attr is not None
             out = _residual_pad(out, receiver_attr)
         return out
+
+
+class MultiTPConvLayer(nn.Module):
+    """N receiver sets with per-edge-type FC groups and one joint batch norm.
+
+    Generalization of ``JointTPConvLayer`` to the all-atom model's three node
+    sets (ligand / residues / atoms, reference ``models/aa_model.py:395-430``
+    with 9 edge groups). ``receiver_sets`` is a list of
+    (attr, blocks, groups, mask); sets with no blocks (last-layer receptors)
+    receive zero messages but still pass through the joint batch norm, like
+    the reference's concatenated node array.
+    """
+
+    in_irreps: str
+    sh_irreps: str
+    out_irreps: str
+    n_edge_features: int
+    differentiate_convolutions: bool = True
+    residual: bool = True
+    batch_norm: bool = True
+    dropout: float = 0.0
+    hidden_features: Optional[int] = None
+    tp_weights_layers: int = 2
+    activation: str = "relu"
+    bn_axis_names: tuple = ()
+    factored: bool = True
+
+    @nn.compact
+    def __call__(self, receiver_sets, train: bool = False):
+        tp = FullyConnectedTensorProduct(
+            self.in_irreps, self.sh_irreps, self.out_irreps
+        )
+        hidden = self.hidden_features or self.n_edge_features
+        out_dim = Irreps(self.out_irreps).dim
+        fcs = {}
+
+        def get_fc(g: int):
+            key = g if self.differentiate_convolutions else 0
+            if key not in fcs:
+                name = f"fc_{key}" if self.differentiate_convolutions else "fc_shared"
+                fcs[key] = FCBlock(
+                    hidden_dim=hidden, out_dim=tp.weight_numel,
+                    layers=self.tp_weights_layers, dropout=self.dropout,
+                    activation=self.activation, name=name,
+                )
+            return fcs[key]
+
+        outs = []
+        for attr, blocks, groups, _mask in receiver_sets:
+            if not blocks:
+                outs.append(jnp.zeros(attr.shape[:-1] + (out_dim,), attr.dtype))
+                continue
+            if self.factored:
+                parts = [
+                    _tp_message_reduced(tp, get_fc(g), blk, train)
+                    for g, blk in zip(groups, blocks)
+                ]
+                outs.append(_combine_reduced(parts))
+            else:
+                parts = [
+                    _tp_message(tp, get_fc(g), blk, train)
+                    for g, blk in zip(groups, blocks)
+                ]
+                outs.append(
+                    multi_group_mean(parts, [b.nbr_mask for b in blocks])
+                )
+
+        out = jnp.concatenate(outs, axis=0)
+        if self.batch_norm:
+            mask = jnp.concatenate([s[3] for s in receiver_sets], axis=0)
+            out = IrrepsBatchNorm(
+                Irreps(self.out_irreps), axis_names=self.bn_axis_names,
+                name="bn",
+            )(out, mask=mask, train=train)
+        if self.residual:
+            out = _residual_pad(
+                out, jnp.concatenate([s[0] for s in receiver_sets], axis=0)
+            )
+        splits = np.cumsum([s[0].shape[0] for s in receiver_sets])[:-1]
+        return jnp.split(out, splits, axis=0)
 
 
 class JointTPConvLayer(nn.Module):
@@ -148,6 +292,7 @@ class JointTPConvLayer(nn.Module):
     tp_weights_layers: int = 2
     activation: str = "relu"
     bn_axis_names: tuple = ()
+    factored: bool = True
 
     @nn.compact
     def __call__(
@@ -183,15 +328,30 @@ class JointTPConvLayer(nn.Module):
                 )
             return fcs[key]
 
-        lig_parts = [
-            _tp_message(tp, get_fc(g), blk, train)
-            for g, blk in zip(lig_groups, lig_blocks)
-        ]
-        lig_out = multi_group_mean(lig_parts, [b.nbr_mask for b in lig_blocks])
+        if self.factored:
+            lig_parts = [
+                _tp_message_reduced(tp, get_fc(g), blk, train)
+                for g, blk in zip(lig_groups, lig_blocks)
+            ]
+            lig_out = _combine_reduced(lig_parts)
+        else:
+            lig_parts = [
+                _tp_message(tp, get_fc(g), blk, train)
+                for g, blk in zip(lig_groups, lig_blocks)
+            ]
+            lig_out = multi_group_mean(
+                lig_parts, [b.nbr_mask for b in lig_blocks]
+            )
 
         if self.last_layer:
             assert not rec_blocks
             rec_out = jnp.zeros(rec_attr.shape[:-1] + (lig_out.shape[-1],), lig_out.dtype)
+        elif self.factored:
+            rec_parts = [
+                _tp_message_reduced(tp, get_fc(g), blk, train)
+                for g, blk in zip(rec_groups, rec_blocks)
+            ]
+            rec_out = _combine_reduced(rec_parts)
         else:
             rec_parts = [
                 _tp_message(tp, get_fc(g), blk, train)

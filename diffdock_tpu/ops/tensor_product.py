@@ -88,6 +88,33 @@ class FullyConnectedTensorProduct:
             )
         ]
 
+    def coupled_class(
+        self, k: int, x1: jnp.ndarray, x2: jnp.ndarray
+    ) -> jnp.ndarray:
+        """The weight-independent coupled tensor for output entry ``k``:
+        (..., fan_k, d3). The weighted TP is the linear contraction
+        ``einsum('...uk,...uw->...wk', coupled, W_k / sqrt(fan_k))`` — this
+        factorization is what lets conv layers reduce over neighbors BEFORE
+        applying weights (see ``models/tpconv.py``)."""
+        ek = self.irreps_out[k]
+        segs = []
+        for p in self.paths[k]:
+            a = _reshape_entry(x1, self.irreps_in1, p.i, self._sl1[p.i])
+            b = _reshape_entry(x2, self.irreps_in2, p.j, self._sl2[p.j])
+            cg = jnp.asarray(p.cg, dtype=x1.dtype)
+            seg = jnp.einsum("...ui,...vj,ijk->...uvk", a, b, cg)
+            segs.append(seg.reshape(seg.shape[:-3] + (-1, ek.ir.dim)))
+        return jnp.concatenate(segs, axis=-2)
+
+    def weight_slices(self):
+        """Per-output-entry (offset, fan, mul) into the flat weight vector."""
+        out, offset = [], 0
+        for k, ek in enumerate(self.irreps_out):
+            fan = self.fan_in[k]
+            out.append((offset, fan, ek.mul))
+            offset += fan * ek.mul
+        return out
+
     def __call__(
         self, x1: jnp.ndarray, x2: jnp.ndarray, weights: jnp.ndarray
     ) -> jnp.ndarray:
