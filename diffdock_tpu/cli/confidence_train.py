@@ -1,0 +1,208 @@
+"""Confidence-model training CLI (reference ``confidence/confidence_train.py``).
+
+Two phases:
+1. pose generation: run the (trained) score model over the training split,
+   ``samples_per_complex`` poses each, label with RMSD vs crystal
+   (cached npz per complex, like the reference's ligand_positions pickles,
+   ``confidence/dataset.py:82-155``);
+2. BCE training of the confidence classifier on (pose, rmsd < cutoff).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from pathlib import Path
+
+import numpy as np
+
+
+def get_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_dir", default=None)
+    p.add_argument("--split_train", default=None)
+    p.add_argument("--score_model_dir", default=None)
+    p.add_argument("--log_dir", default="workdir/confidence_model")
+    p.add_argument("--cache_path", default="data/cache_tpu")
+    p.add_argument("--pose_cache", default="data/confidence_poses")
+    p.add_argument("--samples_per_complex", type=int, default=8)
+    p.add_argument("--inference_steps", type=int, default=8)
+    p.add_argument("--rmsd_classification_cutoff", type=float, default=2.0)
+    p.add_argument("--n_epochs", type=int, default=50)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--all_atoms", action="store_true", default=False)
+    p.add_argument("--ns", type=int, default=16)
+    p.add_argument("--nv", type=int, default=4)
+    p.add_argument("--num_conv_layers", type=int, default=2)
+    p.add_argument("--num_prot_emb_layers", type=int, default=0)
+    p.add_argument("--limit_complexes", type=int, default=0)
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from diffdock_tpu.data.complexes import pad_to, synthetic_complex
+    from diffdock_tpu.diffusion.so3 import get_so3_tables
+    from diffdock_tpu.diffusion.torus import get_torus_tables
+    from diffdock_tpu.inference.pipeline import DockingPipeline
+    from diffdock_tpu.inference.sampler import SamplerConfig
+    from diffdock_tpu.models.config import PRESETS, ScoreModelConfig
+    from diffdock_tpu.models.factory import build_model
+    from diffdock_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+    from diffdock_tpu.train.confidence import (
+        ConfidenceTrainConfig,
+        generate_poses_for_complex,
+        make_confidence_train_step,
+    )
+    from diffdock_tpu.train.trainer import training_model_config
+
+    so3 = get_so3_tables()
+    torus = get_torus_tables()
+
+    # --- score model (pose generator) ---
+    if args.score_model_dir:
+        sp, score_cfg, _ = load_checkpoint(args.score_model_dir)
+    else:
+        print("WARNING: random score-model weights (pose labels still valid)")
+        score_cfg = ScoreModelConfig(
+            ns=args.ns, nv=args.nv, num_conv_layers=args.num_conv_layers,
+            num_prot_emb_layers=args.num_prot_emb_layers,
+        )
+        model = build_model(score_cfg)
+        d0 = synthetic_complex(np.random.RandomState(0))
+        sp = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jax.tree.map(jnp.asarray, d0),
+            jnp.asarray(d0.lig_pos), jnp.asarray(0.5), so3, torus,
+        )
+    pipeline = DockingPipeline(
+        score_cfg, sp,
+        SamplerConfig(
+            inference_steps=args.inference_steps,
+            actual_steps=args.inference_steps,
+        ),
+        so3_tables=so3, torus_tables=torus,
+    )
+
+    # --- dataset ---
+    if args.synthetic:
+        rng = np.random.RandomState(args.seed)
+        raw = [
+            synthetic_complex(rng, n_lig=12, n_rec=32, n_bonds=3)
+            for _ in range(args.synthetic)
+        ]
+        datas = {str(i): pad_to(d, 16, 64, 8) for i, d in enumerate(raw)}
+        topo = {str(i): None for i in range(len(raw))}
+    else:
+        from diffdock_tpu.data.chem import read_molecule_file
+        from diffdock_tpu.data.datasets import (
+            ComplexDataset, DatasetConfig, pdbbind_specs,
+        )
+
+        specs = pdbbind_specs(args.data_dir, args.split_train)
+        if args.limit_complexes:
+            specs = specs[: args.limit_complexes]
+        ds = ComplexDataset(specs, DatasetConfig(cache_dir=args.cache_path))
+        ds.preprocess()
+        datas = {n: ds.get(n) for n in ds.names}
+        topo = {}
+        for s in specs:
+            if s.name in datas:
+                mol = read_molecule_file(s.ligand_path).remove_hs()
+                topo[s.name] = (mol.elements, [(i, j) for i, j, _ in mol.bonds])
+
+    # --- phase 1: generate poses + rmsd labels ---
+    pose_cache = Path(args.pose_cache)
+    pose_cache.mkdir(parents=True, exist_ok=True)
+    samples = {}
+    for i, (name, data) in enumerate(datas.items()):
+        path = pose_cache / f"{name}.npz"
+        if path.exists():
+            z = np.load(path)
+            samples[name] = (z["poses"], z["rmsds"])
+            continue
+        el_bonds = topo.get(name)
+        poses, rmsds = generate_poses_for_complex(
+            pipeline, data, args.samples_per_complex, seed=args.seed + i,
+            elements=None if el_bonds is None else el_bonds[0],
+            bonds=None if el_bonds is None else el_bonds[1],
+        )
+        np.savez_compressed(path, poses=poses, rmsds=rmsds)
+        samples[name] = (poses, rmsds)
+        print(f"[{name}] generated {len(rmsds)} poses, "
+              f"min rmsd {rmsds.min():.2f}")
+
+    # --- phase 2: train the confidence classifier ---
+    conf_cfg = training_model_config(
+        ScoreModelConfig(
+            ns=args.ns, nv=args.nv, num_conv_layers=args.num_conv_layers,
+            num_prot_emb_layers=args.num_prot_emb_layers,
+            confidence_mode=True, all_atoms=args.all_atoms,
+        ),
+        data_parallel=False,
+    )
+    assert not args.all_atoms, "AA confidence training wiring lands with AA datasets"
+    conf_model = build_model(conf_cfg)
+    name0 = next(iter(datas))
+    d0 = jax.tree.map(jnp.asarray, datas[name0])
+    variables = jax.jit(conf_model.init)(
+        jax.random.PRNGKey(args.seed), d0,
+        jnp.asarray(samples[name0][0][0]) - d0.original_center,
+        jnp.asarray(0.0), so3, torus,
+    )
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    tcfg = ConfidenceTrainConfig(
+        rmsd_classification_cutoff=args.rmsd_classification_cutoff,
+        samples_per_complex=args.samples_per_complex, lr=args.lr,
+    )
+    train_step, tx = make_confidence_train_step(conf_model, tcfg, so3, torus)
+    train_step = jax.jit(train_step)
+    opt_state = tx.init(params)
+
+    names = list(datas.keys())
+    rng_np = np.random.RandomState(args.seed)
+    os.makedirs(args.log_dir, exist_ok=True)
+    for epoch in range(args.n_epochs):
+        order = rng_np.permutation(len(names))
+        losses, accs = [], []
+        for start in range(0, len(order), args.batch_size):
+            idx = order[start : start + args.batch_size]
+            batch_names = [names[j] for j in idx]
+            stacked = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[datas[n] for n in batch_names]
+            )
+            pose_sel = [
+                rng_np.randint(samples[n][0].shape[0]) for n in batch_names
+            ]
+            poses = jnp.stack([
+                jnp.asarray(samples[n][0][k]) - jnp.asarray(datas[n].original_center)
+                for n, k in zip(batch_names, pose_sel)
+            ])
+            labels = jnp.asarray([
+                float(samples[n][1][k] < tcfg.rmsd_classification_cutoff)
+                for n, k in zip(batch_names, pose_sel)
+            ])
+            params, batch_stats, opt_state, m = train_step(
+                params, batch_stats, opt_state, (stacked, poses, labels),
+                jax.random.PRNGKey(epoch * 1000 + start),
+            )
+            losses.append(float(m["loss"]))
+            accs.append(float(m["accuracy"]))
+        print(f"epoch {epoch}: bce {np.mean(losses):.4f} acc {np.mean(accs):.3f}")
+        save_checkpoint(
+            args.log_dir, {"params": params, "batch_stats": batch_stats},
+            conf_cfg, extra={"epoch": epoch},
+            weights_name="last_model.msgpack",
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -3,23 +3,30 @@
 The user-facing equivalent of the reference ``inference.py:57-318`` flow,
 re-shaped for TPUs: per complex one jitted program (receptor embed + full
 reverse diffusion + confidence scoring), compiled once per
-(ligand, receptor, bond) bucket and reused across complexes.
+(ligand, receptor, bond[, atom]) bucket and reused across complexes.
+Supports a CG or all-atom confidence model (the reference default is the
+all-atom architecture, ``inference.py:84``).
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from diffdock_tpu.data.chem import Molecule, read_molecule_file, read_pdb_file, write_sdf
-from diffdock_tpu.data.complexes import ComplexData, bucket_sizes, pad_to
-from diffdock_tpu.data.featurize import build_complex_data
+from diffdock_tpu.data.chem import read_molecule_file, read_pdb_file, write_sdf
+from diffdock_tpu.data.complexes import (
+    AAComplexData,
+    ComplexData,
+    bucket_sizes,
+    pad_aa_to,
+    pad_to,
+)
+from diffdock_tpu.data.featurize import build_aa_complex_data, build_complex_data
 from diffdock_tpu.diffusion.so3 import SO3Tables, get_so3_tables
 from diffdock_tpu.diffusion.torus import TorusTables, get_torus_tables
 from diffdock_tpu.inference.sampler import (
@@ -28,7 +35,11 @@ from diffdock_tpu.inference.sampler import (
     reverse_diffusion,
 )
 from diffdock_tpu.models.config import ScoreModelConfig
-from diffdock_tpu.models.score_model import CGScoreModel
+from diffdock_tpu.models.factory import build_model
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
 
 
 @dataclasses.dataclass
@@ -51,24 +62,29 @@ class DockingPipeline:
         so3_tables: Optional[SO3Tables] = None,
         torus_tables: Optional[TorusTables] = None,
     ):
+        assert not score_cfg.all_atoms, "score model is coarse-grained"
         self.score_cfg = score_cfg
-        self.score_model = CGScoreModel(score_cfg)
+        self.score_model = build_model(score_cfg)
         self.score_params = score_params
         self.sampler_cfg = sampler_cfg
         self.confidence_cfg = confidence_cfg
         self.confidence_model = (
-            CGScoreModel(confidence_cfg) if confidence_cfg is not None else None
+            build_model(confidence_cfg) if confidence_cfg is not None else None
         )
         self.confidence_params = confidence_params
         self.so3 = so3_tables if so3_tables is not None else get_so3_tables()
         self.torus = torus_tables if torus_tables is not None else get_torus_tables()
-        self._compiled: Dict[Tuple[int, int, int, int], callable] = {}
+        self._compiled: Dict[Tuple, callable] = {}
+
+    @property
+    def _confidence_all_atoms(self) -> bool:
+        return self.confidence_cfg is not None and self.confidence_cfg.all_atoms
 
     # ------------------------------------------------------------------
-    def _program(self, num_poses: int):
+    def _program(self, num_poses: int, with_aa: bool):
         """The full docking program for one padded complex."""
 
-        def run(key, data: ComplexData):
+        def run(key, data: ComplexData, aa_data):
             k_init, k_diff = jax.random.split(key)
             cache = self.score_model.apply(
                 self.score_params, data, method="embed_receptor"
@@ -96,10 +112,14 @@ class DockingPipeline:
             )
 
             if self.confidence_model is not None:
+                conf_data = aa_data if with_aa else data
+                conf_cache = self.confidence_model.apply(
+                    self.confidence_params, conf_data, method="embed_receptor"
+                )
                 conf = jax.vmap(
                     lambda p: self.confidence_model.apply(
-                        self.confidence_params, data, p, jnp.asarray(0.0),
-                        self.so3, self.torus,
+                        self.confidence_params, conf_data, p, jnp.asarray(0.0),
+                        self.so3, self.torus, rec_cache=conf_cache,
                     )
                 )(final)[..., 0]
                 conf = jnp.nan_to_num(conf, nan=-1000.0)
@@ -109,22 +129,37 @@ class DockingPipeline:
 
         return run
 
-    def _get_compiled(self, nl: int, nr: int, nb: int, num_poses: int):
-        key = (nl, nr, nb, num_poses)
+    def _get_compiled(self, bucket, num_poses: int, with_aa: bool):
+        key = bucket + (num_poses, with_aa)
         if key not in self._compiled:
-            self._compiled[key] = jax.jit(self._program(num_poses))
+            self._compiled[key] = jax.jit(self._program(num_poses, with_aa))
         return self._compiled[key]
 
     # ------------------------------------------------------------------
     def dock_complex(
-        self, data: ComplexData, num_poses: int = 10, seed: int = 0
+        self,
+        data: ComplexData,
+        num_poses: int = 10,
+        seed: int = 0,
+        aa_data: Optional[AAComplexData] = None,
     ) -> DockingResult:
         nl, nr, nb = bucket_sizes(data.n_lig, data.n_rec, data.n_bonds)
         n_real = data.n_lig
-        padded = pad_to(data, nl, nr, nb)
-        padded = jax.tree.map(jnp.asarray, padded)
-        fn = self._get_compiled(nl, nr, nb, num_poses)
-        poses, conf = fn(jax.random.PRNGKey(seed), padded)
+        padded = jax.tree.map(jnp.asarray, pad_to(data, nl, nr, nb))
+
+        with_aa = self._confidence_all_atoms
+        if with_aa:
+            assert aa_data is not None, "all-atom confidence needs aa_data"
+            na = max(_round_up(aa_data.n_atoms, 256), 256)
+            padded_aa = jax.tree.map(
+                jnp.asarray, pad_aa_to(aa_data, nl, nr, nb, na)
+            )
+            bucket = (nl, nr, nb, na)
+        else:
+            padded_aa, bucket = None, (nl, nr, nb, 0)
+
+        fn = self._get_compiled(bucket, num_poses, with_aa)
+        poses, conf = fn(jax.random.PRNGKey(seed), padded, padded_aa)
         poses = np.asarray(poses)[:, :n_real]
         poses = poses + np.asarray(data.original_center)[None, None]
         conf = np.asarray(conf)
@@ -150,8 +185,15 @@ class DockingPipeline:
         (naming scheme matches reference ``inference.py:286-290``)."""
         mol = read_molecule_file(ligand_path)
         protein = read_pdb_file(protein_path)
-        data, heavy_mol = build_complex_data(mol, protein, lm_embeddings)
-        result = self.dock_complex(data, num_poses=num_poses, seed=seed)
+        aa_data = None
+        if self._confidence_all_atoms:
+            aa_data, heavy_mol = build_aa_complex_data(mol, protein, lm_embeddings)
+            data = aa_data.base
+        else:
+            data, heavy_mol = build_complex_data(mol, protein, lm_embeddings)
+        result = self.dock_complex(
+            data, num_poses=num_poses, seed=seed, aa_data=aa_data
+        )
 
         os.makedirs(out_dir, exist_ok=True)
         for rank, idx in enumerate(result.order):
@@ -160,15 +202,12 @@ class DockingPipeline:
                 if result.confidence is not None
                 else None
             )
-            if rank == 0:
-                name = "rank1.sdf"
-            else:
-                name = f"rank{rank + 1}.sdf"
+            name = f"rank{rank + 1}.sdf" if rank == 0 or conf is None else (
+                f"rank{rank + 1}_confidence{conf:.2f}.sdf"
+            )
             props = {}
             if conf is not None:
                 props["confidence"] = f"{conf:.4f}"
-                if rank > 0:
-                    name = f"rank{rank + 1}_confidence{conf:.2f}.sdf"
             with open(os.path.join(out_dir, name), "w") as f:
                 f.write(write_sdf(heavy_mol, result.poses[idx], props))
         return result

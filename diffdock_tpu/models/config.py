@@ -68,6 +68,10 @@ class ScoreModelConfig:
     # the naive per-edge path is kept for cross-validation
     factored_tp: bool = True
 
+    # all-atom receptor (third node set; reference model factory picks the
+    # AAModel when all_atoms, utils/utils.py:172-281)
+    all_atoms: bool = False
+
     sigma: SigmaConfig = SigmaConfig()
 
     @property

@@ -1,0 +1,94 @@
+"""Confidence-model training: pose generation sweep + BCE classification.
+
+Reference flow (``confidence/dataset.py:212-273`` +
+``confidence/confidence_train.py:111-320``): run the trained score model
+over the training split to generate ``samples_per_complex`` poses each,
+label them with RMSD vs the crystal pose, then train the confidence
+network to classify RMSD < cutoff. The pose-generation sweep is the
+workload that most benefits from pose-parallel TPU fan-out.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffdock_tpu.data.complexes import ComplexData
+from diffdock_tpu.eval.rmsd import molecular_automorphisms, symmetry_rmsd
+
+
+@dataclasses.dataclass(frozen=True)
+class ConfidenceTrainConfig:
+    rmsd_classification_cutoff: float = 2.0
+    samples_per_complex: int = 8
+    lr: float = 3e-4
+    w_decay: float = 0.0
+
+
+def generate_poses_for_complex(
+    pipeline, data: ComplexData, samples: int, seed: int,
+    elements=None, bonds=None, aa_data=None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sample poses with the score model and label with (symmetry-corrected
+    when topology given) RMSD vs the reference pose."""
+    result = pipeline.dock_complex(
+        data, num_poses=samples, seed=seed, aa_data=aa_data
+    )
+    ref = np.asarray(data.lig_pos) + np.asarray(data.original_center)
+    n = data.n_lig
+    poses = result.poses[:, :n]
+    if elements is not None and bonds is not None:
+        perms = molecular_automorphisms(elements, bonds)
+        rmsds = symmetry_rmsd(ref, poses, elements, bonds, perms=perms)
+    else:
+        rmsds = np.sqrt(np.mean(np.sum((poses - ref) ** 2, axis=-1), axis=-1))
+    return poses, np.asarray(rmsds)
+
+
+def make_confidence_train_step(model, cfg: ConfidenceTrainConfig, so3, torus):
+    """Binary cross-entropy step over a batch of (complex, pose, label).
+
+    ``batch``: (datas stacked, poses (B, NL, 3), labels (B,)).
+    """
+    import optax
+
+    tx = optax.adam(cfg.lr)
+
+    def train_step(params, batch_stats, opt_state, batch, rng):
+        datas, poses, labels = batch
+
+        def loss_fn(p):
+            def one(data, pos, dkey):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    data, pos, jnp.asarray(0.0), so3, torus,
+                    train=True, mutable=["batch_stats"],
+                    rngs={"dropout": dkey},
+                )
+                return out[..., 0], mut["batch_stats"]
+
+            keys = jax.random.split(rng, labels.shape[0])
+            logits, new_stats = jax.vmap(one, axis_name="batch")(
+                datas, poses, keys
+            )
+            loss = jnp.mean(
+                optax.sigmoid_binary_cross_entropy(logits, labels)
+            )
+            acc = jnp.mean((logits > 0) == (labels > 0.5))
+            new_stats = jax.tree.map(lambda x: x[0], new_stats)
+            return loss, (acc, new_stats)
+
+        (loss, (acc, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, {"loss": loss, "accuracy": acc}
+
+    return train_step, tx

@@ -1,0 +1,71 @@
+"""Docking pipeline wiring: CG score + (CG|AA) confidence, bucket reuse."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffdock_tpu.data.complexes import synthetic_aa_complex
+from diffdock_tpu.diffusion.so3 import SO3Config, get_so3_tables
+from diffdock_tpu.diffusion.torus import TorusConfig, get_torus_tables
+from diffdock_tpu.inference.pipeline import DockingPipeline
+from diffdock_tpu.inference.sampler import SamplerConfig
+from diffdock_tpu.models.config import ScoreModelConfig
+from diffdock_tpu.models.factory import build_model
+
+SO3_SMALL = SO3Config(n_eps=64, x_n=256, l_max=512)
+TORUS_SMALL = TorusConfig(x_n=256, sigma_n=128, mc_samples=2000)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    so3 = get_so3_tables(SO3_SMALL)
+    torus = get_torus_tables(TORUS_SMALL)
+    rng = np.random.RandomState(0)
+    aa = synthetic_aa_complex(rng, n_lig=8, n_rec=12, n_bonds=2, atoms_per_res=3)
+
+    score_cfg = ScoreModelConfig(ns=8, nv=2, num_conv_layers=2, num_prot_emb_layers=0)
+    score_model = build_model(score_cfg)
+    sp = score_model.init(
+        jax.random.PRNGKey(0), jax.tree.map(jnp.asarray, aa.base),
+        jnp.asarray(aa.base.lig_pos), jnp.asarray(0.5), so3, torus,
+    )
+    return so3, torus, aa, score_cfg, sp
+
+
+def test_pipeline_no_confidence(setup):
+    so3, torus, aa, score_cfg, sp = setup
+    pipe = DockingPipeline(
+        score_cfg, sp, SamplerConfig(inference_steps=2, actual_steps=2),
+        so3_tables=so3, torus_tables=torus,
+    )
+    res = pipe.dock_complex(aa.base, num_poses=2, seed=0)
+    assert res.poses.shape == (2, aa.base.n_lig, 3)
+    assert np.isfinite(res.poses).all()
+    assert res.confidence is None
+
+
+def test_pipeline_aa_confidence(setup):
+    so3, torus, aa, score_cfg, sp = setup
+    conf_cfg = ScoreModelConfig(
+        ns=8, nv=2, num_conv_layers=2, num_prot_emb_layers=1,
+        confidence_mode=True, all_atoms=True,
+    )
+    conf_model = build_model(conf_cfg)
+    cp = conf_model.init(
+        jax.random.PRNGKey(1), jax.tree.map(jnp.asarray, aa),
+        jnp.asarray(aa.base.lig_pos), jnp.asarray(0.0), so3, torus,
+    )
+    pipe = DockingPipeline(
+        score_cfg, sp, SamplerConfig(inference_steps=2, actual_steps=2),
+        confidence_cfg=conf_cfg, confidence_params=cp,
+        so3_tables=so3, torus_tables=torus,
+    )
+    res = pipe.dock_complex(aa.base, num_poses=3, seed=0, aa_data=aa)
+    assert res.poses.shape == (3, aa.base.n_lig, 3)
+    assert res.confidence.shape == (3,)
+    assert np.isfinite(res.confidence).all()
+    # order sorts confidence descending
+    assert (np.diff(res.confidence[res.order]) <= 1e-6).all()
