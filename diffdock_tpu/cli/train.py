@@ -44,6 +44,13 @@ def get_parser():
     p.add_argument("--num_conv_layers", type=int, default=None)
     p.add_argument("--num_prot_emb_layers", type=int, default=None)
     p.add_argument("--restart_dir", default=None)
+    p.add_argument("--val_inference_freq", type=int, default=0,
+                   help="every N epochs run reverse diffusion on val complexes")
+    p.add_argument("--num_inference_complexes", type=int, default=20)
+    p.add_argument("--inference_samples", type=int, default=4)
+    p.add_argument("--inference_steps", type=int, default=8)
+    p.add_argument("--scheduler", default=None, choices=[None, "plateau"])
+    p.add_argument("--scheduler_patience", type=int, default=20)
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on N synthetic complexes (smoke/benchmark)")
     return p
@@ -83,11 +90,14 @@ def main(argv=None):
     from diffdock_tpu.models.config import PRESETS
     from diffdock_tpu.models.score_model import CGScoreModel
     from diffdock_tpu.parallel.mesh import make_mesh, shard_train_step
-    from diffdock_tpu.train.checkpoints import save_checkpoint
+    from diffdock_tpu.train.checkpoints import (
+        load_train_state, save_checkpoint, save_train_state,
+    )
     from diffdock_tpu.train.trainer import (
         DP_AXIS, TrainConfig, create_train_state, make_train_step,
         training_model_config,
     )
+    from diffdock_tpu.train.validation import PlateauScheduler, inference_epoch
 
     cfg = PRESETS[args.model_preset]
     overrides = {}
@@ -145,6 +155,9 @@ def main(argv=None):
     state = create_train_state(
         model, example, so3, torus, tc, jax.random.PRNGKey(args.seed)
     )
+    if args.restart_dir:
+        state = load_train_state(args.restart_dir, state)
+        print(f"restarted from {args.restart_dir} at step {int(state.step)}")
 
     if args.data_parallel:
         mesh = make_mesh()
@@ -156,8 +169,11 @@ def main(argv=None):
 
     os.makedirs(args.log_dir, exist_ok=True)
     best_loss = float("inf")
+    best_inf_metric = -1.0
     rng = jax.random.PRNGKey(args.seed + 1)
     history = []
+    plateau = PlateauScheduler(patience=args.scheduler_patience) \
+        if args.scheduler == "plateau" else None
     for epoch in range(args.n_epochs):
         t0 = time.time()
         losses = []
@@ -172,6 +188,56 @@ def main(argv=None):
             f"({len(losses)} steps, {time.time() - t0:.1f}s)"
         )
 
+        if plateau is not None:
+            prev_scale = plateau.scale
+            plateau.step(mean_loss)
+            if plateau.scale != prev_scale:
+                state = state.replace(
+                    lr_scale=jnp.asarray(plateau.scale, jnp.float32)
+                )
+                print(f"  plateau lr scale -> {plateau.scale:.4f}")
+
+        if args.val_inference_freq and (epoch + 1) % args.val_inference_freq == 0:
+            import dataclasses as _dc
+
+            from diffdock_tpu.inference.pipeline import DockingPipeline
+            from diffdock_tpu.inference.sampler import SamplerConfig as _SC
+
+            infer_cfg = _dc.replace(cfg, bn_axis_names=())
+            pipe = DockingPipeline(
+                infer_cfg,
+                {"params": state.ema_params, "batch_stats": state.batch_stats},
+                _SC(inference_steps=args.inference_steps,
+                    actual_steps=args.inference_steps),
+                so3_tables=so3, torus_tables=torus,
+            )
+            if args.synthetic:
+                n_val = min(args.num_inference_complexes, len(datas))
+                val_items = [(str(i), datas[i]) for i in range(n_val)]
+            else:
+                val_items = [
+                    (nm, ds.get(nm))
+                    for nm in ds.names[: args.num_inference_complexes]
+                ]
+            val_datas = {
+                n: jax.tree.map(np.asarray, d) for n, d in val_items
+            }
+            metrics_inf = inference_epoch(
+                pipe, val_datas, args.num_inference_complexes,
+                args.inference_samples, seed=epoch,
+            )
+            print(f"  val inference: {metrics_inf}")
+            m = metrics_inf.get("valinf_min_rmsds_lt2", -1.0)
+            if m > best_inf_metric:
+                best_inf_metric = m
+                save_checkpoint(
+                    args.log_dir,
+                    {"params": state.ema_params, "batch_stats": state.batch_stats},
+                    cfg, extra={"epoch": epoch, "valinf_min_rmsds_lt2": m},
+                    weights_name="best_ema_inference_epoch_model.msgpack",
+                )
+
+        save_train_state(args.log_dir, state, cfg, extra={"epoch": epoch})
         save_checkpoint(
             args.log_dir, {"params": state.params, "batch_stats": state.batch_stats},
             cfg, extra={"epoch": epoch}, weights_name="last_model.msgpack",

@@ -72,6 +72,11 @@ class ScoreModelConfig:
     # AAModel when all_atoms, utils/utils.py:172-281)
     all_atoms: bool = False
 
+    # compute dtype for conv-layer contractions (params and batch norm stay
+    # float32; accumulations use float32). 'bfloat16' halves HBM traffic on
+    # the dominant edge tensors.
+    compute_dtype: str = "float32"
+
     sigma: SigmaConfig = SigmaConfig()
 
     @property

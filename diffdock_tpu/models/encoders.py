@@ -23,11 +23,12 @@ class FCBlock(nn.Module):
     layers: int = 2
     dropout: float = 0.0
     activation: str = "relu"
+    dtype: str = "float32"  # compute dtype; params stay float32
 
     def setup(self):
         assert self.layers >= 2
         self.hidden_layers = [
-            nn.Dense(self.hidden_dim, name=f"Dense_{i}")
+            nn.Dense(self.hidden_dim, name=f"Dense_{i}", dtype=self.dtype)
             for i in range(self.layers - 1)
         ]
         self.dropouts = [

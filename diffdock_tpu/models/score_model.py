@@ -128,6 +128,7 @@ class CGScoreModel(nn.Module):
             tp_weights_layers=cfg.tp_weights_layers,
             bn_axis_names=tuple(cfg.bn_axis_names),
             factored=cfg.factored_tp,
+            dtype=cfg.compute_dtype,
         )
 
     def _setup_base(self):

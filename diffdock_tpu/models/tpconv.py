@@ -61,7 +61,8 @@ def _tp_message(tp, fc, blk: NeighborBlock, train: bool):
     return tp(x_nbr, blk.edge_sh, w)  # (R, K, out_dim)
 
 
-def _tp_message_reduced(tp, fc, blk: NeighborBlock, train: bool):
+def _tp_message_reduced(tp, fc, blk: NeighborBlock, train: bool,
+                        dtype: str = "float32"):
     """Factored message computation: reduce over neighbors BEFORE applying
     the weight-generating FC's last (linear) layer.
 
@@ -79,10 +80,12 @@ def _tp_message_reduced(tp, fc, blk: NeighborBlock, train: bool):
 
     Returns (summed_messages (R, out_dim), valid_counts (R,)).
     """
-    mask = blk.nbr_mask.astype(blk.edge_attr.dtype)  # (R, K)
-    mw = mask if blk.edge_weight is None else mask * blk.edge_weight
-    h = fc.hidden(blk.edge_attr, train=train) * mw[..., None]  # (R, K, H)
-    x_nbr = blk.sender_attr[blk.nbr_idx]  # (R, K, F_in)
+    cd = jnp.dtype(dtype)
+    mask = blk.nbr_mask.astype(cd)  # (R, K)
+    mw = mask if blk.edge_weight is None else mask * blk.edge_weight.astype(cd)
+    h = fc.hidden(blk.edge_attr.astype(cd), train=train) * mw[..., None]
+    x_nbr = blk.sender_attr.astype(cd)[blk.nbr_idx]  # (R, K, F_in)
+    edge_sh = blk.edge_sh.astype(cd)
 
     outs = []
     for k, ((offset, fan, mul), ek) in enumerate(
@@ -93,20 +96,28 @@ def _tp_message_reduced(tp, fc, blk: NeighborBlock, train: bool):
                 jnp.zeros(blk.nbr_idx.shape[:-1] + (ek.dim,), h.dtype)
             )
             continue
-        coupled = tp.coupled_class(k, x_nbr, blk.edge_sh)  # (R, K, fan, d3)
-        p_h = jnp.einsum("rkh,rkud->rhud", h, coupled)
-        p_b = jnp.einsum("rk,rkud->rud", mw, coupled)
+        coupled = tp.coupled_class(k, x_nbr, edge_sh)  # (R, K, fan, d3)
+        p_h = jnp.einsum(
+            "rkh,rkud->rhud", h, coupled,
+            preferred_element_type=jnp.float32,
+        )
+        p_b = jnp.einsum(
+            "rk,rkud->rud", mw, coupled,
+            preferred_element_type=jnp.float32,
+        )
         t_k = fc.out_kernel[:, offset : offset + fan * mul].reshape(
             fc.out_kernel.shape[0], fan, mul
         )
         b_k = fc.out_bias[offset : offset + fan * mul].reshape(fan, mul)
         out_k = (
-            jnp.einsum("rhud,huw->rwd", p_h, t_k)
-            + jnp.einsum("rud,uw->rwd", p_b, b_k)
-        ) / jnp.sqrt(jnp.asarray(fan, h.dtype))
+            jnp.einsum("rhud,huw->rwd", p_h.astype(cd), t_k.astype(cd),
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("rud,uw->rwd", p_b.astype(cd), b_k.astype(cd),
+                         preferred_element_type=jnp.float32)
+        ) / jnp.sqrt(jnp.asarray(fan, jnp.float32))
         outs.append(out_k.reshape(out_k.shape[:-2] + (ek.dim,)))
     summed = jnp.concatenate(outs, axis=-1)
-    counts = mask.sum(axis=-1)
+    counts = blk.nbr_mask.astype(jnp.float32).sum(axis=-1)
     return summed, counts
 
 
@@ -136,6 +147,7 @@ class TPConvLayer(nn.Module):
     activation: str = "relu"
     bn_axis_names: tuple = ()
     factored: bool = True
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -157,6 +169,7 @@ class TPConvLayer(nn.Module):
                 layers=self.tp_weights_layers,
                 dropout=self.dropout,
                 activation=self.activation,
+                dtype=self.dtype,
                 name=name,
             )
 
@@ -165,7 +178,7 @@ class TPConvLayer(nn.Module):
             parts = []
             for g, blk in enumerate(blocks):
                 fc = shared if self.shared_fc else make_fc(f"fc_{g}")
-                parts.append(_tp_message_reduced(tp, fc, blk, train))
+                parts.append(_tp_message_reduced(tp, fc, blk, train, self.dtype))
             out = _combine_reduced(parts)
         else:
             parts, masks = [], []
@@ -209,6 +222,7 @@ class MultiTPConvLayer(nn.Module):
     activation: str = "relu"
     bn_axis_names: tuple = ()
     factored: bool = True
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, receiver_sets, train: bool = False):
@@ -226,7 +240,7 @@ class MultiTPConvLayer(nn.Module):
                 fcs[key] = FCBlock(
                     hidden_dim=hidden, out_dim=tp.weight_numel,
                     layers=self.tp_weights_layers, dropout=self.dropout,
-                    activation=self.activation, name=name,
+                    activation=self.activation, dtype=self.dtype, name=name,
                 )
             return fcs[key]
 
@@ -237,7 +251,7 @@ class MultiTPConvLayer(nn.Module):
                 continue
             if self.factored:
                 parts = [
-                    _tp_message_reduced(tp, get_fc(g), blk, train)
+                    _tp_message_reduced(tp, get_fc(g), blk, train, self.dtype)
                     for g, blk in zip(groups, blocks)
                 ]
                 outs.append(_combine_reduced(parts))
@@ -293,6 +307,7 @@ class JointTPConvLayer(nn.Module):
     activation: str = "relu"
     bn_axis_names: tuple = ()
     factored: bool = True
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -324,13 +339,14 @@ class JointTPConvLayer(nn.Module):
                     layers=self.tp_weights_layers,
                     dropout=self.dropout,
                     activation=self.activation,
+                    dtype=self.dtype,
                     name=name,
                 )
             return fcs[key]
 
         if self.factored:
             lig_parts = [
-                _tp_message_reduced(tp, get_fc(g), blk, train)
+                _tp_message_reduced(tp, get_fc(g), blk, train, self.dtype)
                 for g, blk in zip(lig_groups, lig_blocks)
             ]
             lig_out = _combine_reduced(lig_parts)
@@ -348,7 +364,7 @@ class JointTPConvLayer(nn.Module):
             rec_out = jnp.zeros(rec_attr.shape[:-1] + (lig_out.shape[-1],), lig_out.dtype)
         elif self.factored:
             rec_parts = [
-                _tp_message_reduced(tp, get_fc(g), blk, train)
+                _tp_message_reduced(tp, get_fc(g), blk, train, self.dtype)
                 for g, blk in zip(rec_groups, rec_blocks)
             ]
             rec_out = _combine_reduced(rec_parts)

@@ -47,14 +47,14 @@ def shard_train_step(
     The batch's leading axis is sharded over the mesh; state and rng are
     replicated. Returns (state, metrics) with metrics already pmean-ed.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     sharded = shard_map(
         train_step,
         mesh=mesh,
         in_specs=(P(), P(axis_name), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -68,7 +68,7 @@ def shard_pose_sampler(
     ``init_poses``/outputs is sharded, ``data`` replicated, and each shard
     folds its mesh index into the rng so shards draw independent noise.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def local(key, data, init_poses):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
@@ -79,6 +79,6 @@ def shard_pose_sampler(
         mesh=mesh,
         in_specs=(P(), P(), P(axis_name)),
         out_specs=P(axis_name),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)

@@ -21,6 +21,7 @@ from diffdock_tpu.models.config import ScoreModelConfig
 
 CONFIG_FILE = "model_parameters.yml"
 WEIGHTS_FILE = "model.msgpack"
+TRAIN_STATE_FILE = "train_state.msgpack"
 
 
 def _cfg_to_dict(cfg: ScoreModelConfig) -> Dict[str, Any]:
@@ -84,3 +85,43 @@ def load_checkpoint(
                 params = serialization.msgpack_restore(f.read())
             return params, cfg, meta
     raise FileNotFoundError(f"no weights found in {run_dir} (tried {candidates})")
+
+
+def save_train_state(run_dir: str, state, cfg: ScoreModelConfig,
+                     extra: Optional[Dict[str, Any]] = None) -> None:
+    """Persist the FULL training state (params, EMA, optimizer, batch stats,
+    step) for restart — the reference's last_model.pt with optimizer
+    (``train.py:141-146``)."""
+    from flax import serialization
+
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, CONFIG_FILE), "w") as f:
+        yaml.safe_dump({"model": _cfg_to_dict(cfg), **(extra or {})}, f)
+    payload = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "ema_params": state.ema_params,
+        "lr_scale": state.lr_scale,
+    }
+    with open(os.path.join(run_dir, TRAIN_STATE_FILE), "wb") as f:
+        f.write(serialization.to_bytes(payload))
+
+
+def load_train_state(run_dir: str, template_state):
+    """Restore a training state saved by :func:`save_train_state` into the
+    structure of ``template_state`` (created via create_train_state)."""
+    from flax import serialization
+
+    payload = {
+        "step": template_state.step,
+        "params": template_state.params,
+        "batch_stats": template_state.batch_stats,
+        "opt_state": template_state.opt_state,
+        "ema_params": template_state.ema_params,
+        "lr_scale": template_state.lr_scale,
+    }
+    with open(os.path.join(run_dir, TRAIN_STATE_FILE), "rb") as f:
+        restored = serialization.from_bytes(payload, f.read())
+    return template_state.replace(**restored)

@@ -51,6 +51,13 @@ class TrainState(flax.struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     ema_params: Any
+    # host-controlled LR multiplier (reduce-on-plateau, reference
+    # utils/utils.py:131-169). A traced scalar: updating it between epochs
+    # does NOT retrigger compilation. Adam updates are linear in lr, so
+    # scaling the update is exactly scaling the learning rate.
+    lr_scale: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.ones((), jnp.float32)
+    )
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -161,6 +168,7 @@ def make_train_step(
         updates, new_opt_state = tx.update(
             grads, state.opt_state, state.params
         )
+        updates = jax.tree.map(lambda u: u * state.lr_scale, updates)
         new_params = optax.apply_updates(state.params, updates)
         rate = train_cfg.ema_rate
         new_ema = jax.tree.map(
