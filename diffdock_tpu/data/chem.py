@@ -170,8 +170,75 @@ def write_sdf(
     return "\n".join(lines) + "\n"
 
 
+# single-bond covalent radii (A) for distance-based bond perception when a
+# ligand PDB carries no CONECT records (RDKit's MolFromPDBFile does the same
+# proximity perception; reference reads MOAD ligands this way,
+# datasets/moad.py:464-468)
+_COVALENT_RADIUS = {
+    "H": 0.31, "B": 0.84, "C": 0.76, "N": 0.71, "O": 0.66, "F": 0.57,
+    "Si": 1.11, "P": 1.07, "S": 1.05, "Cl": 1.02, "As": 1.19, "Se": 1.20,
+    "Br": 1.20, "I": 1.39,
+}
+
+
+def parse_pdb_ligand(text: str, name: str = "") -> Molecule:
+    """Parse a small-molecule PDB file (HETATM/ATOM + CONECT).
+
+    Bonds come from CONECT records when present; otherwise they are
+    perceived by covalent-radius proximity (|d| < r_i + r_j + 0.4 A). Bond
+    orders are unknown in PDB — all single (order 1), matching what the
+    reference's RDKit PDB reader yields before bond-order assignment.
+    """
+    elements: List[str] = []
+    coords: List[Tuple[float, float, float]] = []
+    serial_to_idx: Dict[int, int] = {}
+    bonds_set = set()
+    for ln in text.splitlines():
+        rec = ln[:6]
+        if rec in ("ATOM  ", "HETATM"):
+            serial = int(ln[6:11])
+            el = ln[76:78].strip().capitalize() if len(ln) >= 78 else ""
+            if not el:
+                atom_name = ln[12:16].strip()
+                el = atom_name[:2].capitalize() if atom_name[:2].capitalize() in ATOMIC_NUM else atom_name[:1].upper()
+            serial_to_idx[serial] = len(elements)
+            elements.append(el)
+            coords.append(
+                (float(ln[30:38]), float(ln[38:46]), float(ln[46:54]))
+            )
+        elif rec == "CONECT":
+            fields = [ln[i : i + 5].strip() for i in range(6, min(len(ln), 31), 5)]
+            fields = [int(x) for x in fields if x]
+            if len(fields) >= 2:
+                a = fields[0]
+                for b in fields[1:]:
+                    bonds_set.add((min(a, b), max(a, b)))
+    if not elements:
+        raise ValueError("no atoms parsed from ligand PDB")
+    xyz = np.asarray(coords, np.float32)
+
+    bonds: List[Tuple[int, int, int]] = []
+    if bonds_set:
+        for a, b in sorted(bonds_set):
+            if a in serial_to_idx and b in serial_to_idx:
+                bonds.append((serial_to_idx[a], serial_to_idx[b], 1))
+    else:
+        d = np.linalg.norm(xyz[:, None] - xyz[None, :], axis=-1)
+        r = np.asarray([_COVALENT_RADIUS.get(e, 0.76) for e in elements])
+        cut = r[:, None] + r[None, :] + 0.4
+        ii, jj = np.nonzero((d < cut) & (d > 0.4))
+        bonds = [(int(i), int(j), 1) for i, j in zip(ii, jj) if i < j]
+    return Molecule(
+        elements=elements,
+        coords=xyz,
+        bonds=bonds,
+        charges=[0] * len(elements),
+        name=name,
+    )
+
+
 def read_molecule_file(path: str) -> Molecule:
-    """Read .sdf/.mol (native); other formats require RDKit."""
+    """Read .sdf/.mol/.pdb (native); other formats require RDKit."""
     path_l = path.lower()
     if path_l.endswith((".sdf", ".mol")):
         with open(path) as f:
@@ -179,6 +246,13 @@ def read_molecule_file(path: str) -> Molecule:
         if not mols:
             raise ValueError(f"no molecule parsed from {path}")
         return mols[0]
+    if path_l.endswith(".pdb"):
+        with open(path) as f:
+            import os as _os
+
+            return parse_pdb_ligand(
+                f.read(), name=_os.path.basename(path).rsplit(".", 1)[0]
+            )
     if HAVE_RDKIT:  # pragma: no cover - optional path
         rd = Chem.MolFromMol2File(path, sanitize=True)
         return molecule_from_rdkit(rd)
@@ -186,6 +260,32 @@ def read_molecule_file(path: str) -> Molecule:
         f"unsupported molecule format for native parser: {path} "
         "(install rdkit for mol2/pdbqt)"
     )
+
+
+def write_pdb_ligand(mol: Molecule, coords: Optional[np.ndarray] = None) -> str:
+    """Serialize a small molecule as HETATM + CONECT records."""
+    coords = mol.coords if coords is None else np.asarray(coords)
+    lines = []
+    counts: Dict[str, int] = {}
+    for i, (el, (x, y, z)) in enumerate(zip(mol.elements, coords)):
+        counts[el] = counts.get(el, 0) + 1
+        atom_name = f"{el}{counts[el]}"[:4]
+        lines.append(
+            f"HETATM{i + 1:5d} {atom_name:<4s}{'LIG':>4s} A   1    "
+            f"{x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00          {el:>2s}"
+        )
+    nbrs: Dict[int, List[int]] = {}
+    for i, j, _ in mol.bonds:
+        nbrs.setdefault(i, []).append(j)
+        nbrs.setdefault(j, []).append(i)
+    for i in sorted(nbrs):
+        for start in range(0, len(nbrs[i]), 4):
+            chunk = nbrs[i][start : start + 4]
+            lines.append(
+                "CONECT" + f"{i + 1:5d}" + "".join(f"{j + 1:5d}" for j in chunk)
+            )
+    lines.append("END")
+    return "\n".join(lines) + "\n"
 
 
 def molecule_from_rdkit(rd) -> Molecule:  # pragma: no cover - optional path

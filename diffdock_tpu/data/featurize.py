@@ -165,24 +165,14 @@ def featurize_ligand(mol) -> "np.ndarray":
     return np.asarray(feats, np.int32)
 
 
-def build_complex_data(
-    mol,
-    protein,
-    lm_embeddings=None,
-    c_alpha_max_neighbors: int = 10,
-    remove_hs: bool = True,
-):
-    """Assemble a ``ComplexData`` from a ligand Molecule and a
-    ProteinStructure (the host-side replacement for the reference's
-    HeteroData construction, ``process_mols.py:128-276,426-466``).
-
-    Coordinates are receptor-centered (reference stores
-    ``original_center`` and shifts both molecules by it).
-    """
+def build_ligand_arrays(mol, remove_hs: bool = True):
+    """Ligand-side featurization (categoricals, bonded neighbor lists,
+    rotatable-bond machinery) as a dict of arrays, plus the (H-stripped)
+    Molecule. Ligand coords stay in their original frame — the receptor
+    center is subtracted at join time (like the reference's separate
+    ligand/receptor caches, ``datasets/moad.py:433-468``)."""
     import numpy as np
 
-    from diffdock_tpu.data.chem import Molecule
-    from diffdock_tpu.data.complexes import ComplexData, build_knn_neighbors
     from diffdock_tpu.geometry.torsion import rotatable_bond_mask
 
     if remove_hs:
@@ -215,6 +205,32 @@ def build_complex_data(
     for i, j, _ in mol.bonds:
         directed += [(i, j), (j, i)]
     rot_edges = [directed[k] for k in np.flatnonzero(edge_mask)]
+    nb = len(rot_edges)
+
+    arrays = dict(
+        lig_cat=lig_cat,
+        lig_mask=np.ones(n, bool),
+        lig_coords=np.asarray(mol.coords, np.float32),
+        lig_bond_nbr=bond_nbr,
+        lig_bond_mask=bond_mask,
+        lig_bond_attr=bond_attr,
+        rot_u=np.asarray([e[0] for e in rot_edges], np.int32).reshape(nb),
+        rot_v=np.asarray([e[1] for e in rot_edges], np.int32).reshape(nb),
+        rot_mask=np.ones(nb, bool),
+        mask_rotate=mask_rotate.astype(bool).reshape(nb, n),
+    )
+    return arrays, mol
+
+
+def build_receptor_arrays(
+    protein, lm_embeddings=None, c_alpha_max_neighbors: int = 10
+):
+    """Receptor-side featurization: residue categoricals, centered CA
+    coords, precomputed kNN lists, chain ids (for chain-cutoff cropping,
+    reference ``datasets/moad.py:204-248``), and the centering offset."""
+    import numpy as np
+
+    from diffdock_tpu.data.complexes import build_knn_neighbors
 
     residues = protein.residues_with_ca()
     rec_pos = np.asarray([r.ca for r in residues], np.float32)
@@ -235,27 +251,66 @@ def build_complex_data(
             f"LM embeddings rows {rec_lm.shape[0]} != residues {len(residues)}"
         )
 
-    nb = len(rot_edges)
-    complex_data = ComplexData(
-        lig_cat=lig_cat,
-        lig_mask=np.ones(n, bool),
-        lig_pos=np.asarray(mol.coords, np.float32) - center,
-        lig_bond_nbr=bond_nbr,
-        lig_bond_mask=bond_mask,
-        lig_bond_attr=bond_attr,
-        rot_u=np.asarray([e[0] for e in rot_edges], np.int32).reshape(nb),
-        rot_v=np.asarray([e[1] for e in rot_edges], np.int32).reshape(nb),
-        rot_mask=np.ones(nb, bool),
-        mask_rotate=mask_rotate.astype(bool).reshape(nb, n),
+    chain_order = {c: i for i, c in enumerate(protein.chains())}
+    chain_ids = np.asarray([chain_order[r.chain] for r in residues], np.int32)
+
+    return dict(
         rec_cat=rec_cat,
         rec_lm=rec_lm,
         rec_mask=np.ones(len(residues), bool),
         rec_pos=rec_pos,
         rec_nbr=rec_nbr,
         rec_nbr_mask=rec_nbr_mask,
+        chain_ids=chain_ids,
         original_center=center.astype(np.float32),
     )
-    return complex_data, mol
+
+
+def join_complex_arrays(lig: dict, rec: dict):
+    """Assemble ligand + receptor array dicts into a ``ComplexData``
+    (ligand coords shifted into the receptor-centered frame)."""
+    from diffdock_tpu.data.complexes import ComplexData
+
+    return ComplexData(
+        lig_cat=lig["lig_cat"],
+        lig_mask=lig["lig_mask"],
+        lig_pos=lig["lig_coords"] - rec["original_center"],
+        lig_bond_nbr=lig["lig_bond_nbr"],
+        lig_bond_mask=lig["lig_bond_mask"],
+        lig_bond_attr=lig["lig_bond_attr"],
+        rot_u=lig["rot_u"],
+        rot_v=lig["rot_v"],
+        rot_mask=lig["rot_mask"],
+        mask_rotate=lig["mask_rotate"],
+        rec_cat=rec["rec_cat"],
+        rec_lm=rec["rec_lm"],
+        rec_mask=rec["rec_mask"],
+        rec_pos=rec["rec_pos"],
+        rec_nbr=rec["rec_nbr"],
+        rec_nbr_mask=rec["rec_nbr_mask"],
+        original_center=rec["original_center"],
+    )
+
+
+def build_complex_data(
+    mol,
+    protein,
+    lm_embeddings=None,
+    c_alpha_max_neighbors: int = 10,
+    remove_hs: bool = True,
+):
+    """Assemble a ``ComplexData`` from a ligand Molecule and a
+    ProteinStructure (the host-side replacement for the reference's
+    HeteroData construction, ``process_mols.py:128-276,426-466``).
+
+    Coordinates are receptor-centered (reference stores
+    ``original_center`` and shifts both molecules by it).
+    """
+    lig, mol = build_ligand_arrays(mol, remove_hs=remove_hs)
+    rec = build_receptor_arrays(
+        protein, lm_embeddings, c_alpha_max_neighbors=c_alpha_max_neighbors
+    )
+    return join_complex_arrays(lig, rec), mol
 
 
 def _atom_type2(name: str) -> str:
