@@ -24,7 +24,10 @@ def get_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="diffdock_tpu docking")
     p.add_argument("--config", default=None, help="YAML overriding defaults")
     p.add_argument("--protein_path", default=None)
-    p.add_argument("--ligand", default=None, help="ligand file (.sdf/.mol)")
+    p.add_argument("--protein_sequence", default=None,
+                   help="fold with ESMFold (requires cached weights)")
+    p.add_argument("--ligand", default=None,
+                   help="ligand file (.sdf/.mol/.pdb) or SMILES (needs RDKit)")
     p.add_argument("--protein_ligand_csv", default=None,
                    help="CSV with columns complex_name,protein_path,ligand_description")
     p.add_argument("--complex_name", default=None)
@@ -123,39 +126,44 @@ def main(argv=None):
             if hasattr(args, k):
                 setattr(args, k, v)
 
-    tasks = []
+    from diffdock_tpu.data.inference_dataset import (
+        InferenceDatasetBuilder, InferenceSpec, specs_from_csv,
+    )
+
     if args.protein_ligand_csv:
-        with open(args.protein_ligand_csv) as f:
-            for row in csv.DictReader(f):
-                tasks.append(
-                    (
-                        row.get("complex_name") or os.path.splitext(
-                            os.path.basename(row["protein_path"])
-                        )[0],
-                        row["protein_path"],
-                        row["ligand_description"],
-                    )
-                )
+        specs = specs_from_csv(args.protein_ligand_csv)
+        for i, s in enumerate(specs):
+            if not s.name and s.protein_path:
+                specs[i].name = os.path.splitext(
+                    os.path.basename(s.protein_path)
+                )[0]
     else:
-        if not (args.protein_path and args.ligand):
-            print("need --protein_path + --ligand or --protein_ligand_csv",
-                  file=sys.stderr)
+        if not ((args.protein_path or args.protein_sequence) and args.ligand):
+            print("need --protein_path/--protein_sequence + --ligand "
+                  "or --protein_ligand_csv", file=sys.stderr)
             return 2
-        name = args.complex_name or os.path.splitext(
-            os.path.basename(args.protein_path)
-        )[0]
-        tasks.append((name, args.protein_path, args.ligand))
+        name = args.complex_name or (
+            os.path.splitext(os.path.basename(args.protein_path))[0]
+            if args.protein_path else "complex_0"
+        )
+        specs = [InferenceSpec(
+            name, args.protein_path, args.protein_sequence, args.ligand,
+        )]
 
     pipeline = load_pipeline(args)
+    builder = InferenceDatasetBuilder(workdir=args.out_dir)
 
     failures = 0
-    for name, protein_path, ligand_path in tasks:
+    for i, spec in enumerate(specs):
+        name = spec.name
         out = os.path.join(args.out_dir, name)
         t0 = time.time()
         try:
-            result = pipeline.dock_files(
-                protein_path, ligand_path, out,
+            mol, protein, lm = builder.load(spec, seed=i)
+            result = pipeline.dock_mol_protein(
+                mol, protein, out,
                 num_poses=args.samples_per_complex, seed=args.seed,
+                lm_embeddings=lm,
             )
         except Exception as e:  # noqa: BLE001 — skip-and-continue like the reference
             print(f"[{name}] FAILED: {type(e).__name__}: {e}", file=sys.stderr)
@@ -170,7 +178,7 @@ def main(argv=None):
             f"[{name}] {result.poses.shape[0]} poses in {time.time() - t0:.1f}s"
             f" -> {out} (best confidence {best})"
         )
-    print(f"done: {len(tasks) - failures}/{len(tasks)} complexes succeeded")
+    print(f"done: {len(specs) - failures}/{len(specs)} complexes succeeded")
     return 0 if failures == 0 else 1
 
 

@@ -185,6 +185,23 @@ class DockingPipeline:
         (naming scheme matches reference ``inference.py:286-290``)."""
         mol = read_molecule_file(ligand_path)
         protein = read_pdb_file(protein_path)
+        return self.dock_mol_protein(
+            mol, protein, out_dir, num_poses=num_poses, seed=seed,
+            lm_embeddings=lm_embeddings,
+        )
+
+    def dock_mol_protein(
+        self,
+        mol,
+        protein,
+        out_dir: str,
+        num_poses: int = 10,
+        seed: int = 0,
+        lm_embeddings: Optional[np.ndarray] = None,
+    ) -> DockingResult:
+        """Dock an in-memory Molecule into a ProteinStructure (entry point
+        for SMILES/sequence inputs via
+        ``diffdock_tpu.data.inference_dataset``)."""
         aa_data = None
         if self._confidence_all_atoms:
             aa_data, heavy_mol = build_aa_complex_data(mol, protein, lm_embeddings)
