@@ -47,6 +47,7 @@ class DockingResult:
     poses: np.ndarray  # (P, NL, 3) in the original input frame
     confidence: Optional[np.ndarray]  # (P,) higher is better, or None
     order: np.ndarray  # (P,) indices sorted by confidence (best first)
+    affinity: Optional[float] = None  # pose-set aggregated affinity
 
 
 class DockingPipeline:
@@ -111,21 +112,29 @@ class DockingPipeline:
                 no_torsion=self.score_cfg.no_torsion,
             )
 
+            affinity = jnp.zeros(())
             if self.confidence_model is not None:
                 conf_data = aa_data if with_aa else data
                 conf_cache = self.confidence_model.apply(
                     self.confidence_params, conf_data, method="embed_receptor"
                 )
-                conf = jax.vmap(
+                out = jax.vmap(
                     lambda p: self.confidence_model.apply(
                         self.confidence_params, conf_data, p, jnp.asarray(0.0),
                         self.so3, self.torus, rec_cache=conf_cache,
                     )
-                )(final)[..., 0]
-                conf = jnp.nan_to_num(conf, nan=-1000.0)
+                )(final)
+                conf = jnp.nan_to_num(out[..., 0], nan=-1000.0)
+                ccfg = self.confidence_cfg
+                if ccfg.affinity_prediction:
+                    feats = out[..., ccfg.num_confidence_outputs :]
+                    affinity = self.confidence_model.apply(
+                        self.confidence_params, feats,
+                        method="predict_affinity",
+                    )
             else:
                 conf = jnp.zeros((num_poses,))
-            return final, conf
+            return final, conf, affinity
 
         return run
 
@@ -159,16 +168,18 @@ class DockingPipeline:
             padded_aa, bucket = None, (nl, nr, nb, 0)
 
         fn = self._get_compiled(bucket, num_poses, with_aa)
-        poses, conf = fn(jax.random.PRNGKey(seed), padded, padded_aa)
+        poses, conf, affinity = fn(jax.random.PRNGKey(seed), padded, padded_aa)
         poses = np.asarray(poses)[:, :n_real]
         poses = poses + np.asarray(data.original_center)[None, None]
         conf = np.asarray(conf)
         order = np.argsort(-conf)
         has_conf = self.confidence_model is not None
+        has_aff = has_conf and self.confidence_cfg.affinity_prediction
         return DockingResult(
             poses=poses,
             confidence=conf if has_conf else None,
             order=order if has_conf else np.arange(num_poses),
+            affinity=float(affinity) if has_aff else None,
         )
 
     # ------------------------------------------------------------------

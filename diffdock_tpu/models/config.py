@@ -56,6 +56,13 @@ class ScoreModelConfig:
     confidence_no_batchnorm: bool = False
     num_confidence_outputs: int = 1
 
+    # experimental binding-affinity head (reference aa_model.py:176-225,
+    # 448-454 + utils/sampling.py:243-268): the confidence head emits ns
+    # extra per-pose features which are aggregated over the pose set
+    # (mean/max/min/std) and regressed to one affinity per complex
+    affinity_prediction: bool = False
+    parallel_aggregators: Tuple[str, ...] = ("mean", "max", "min", "std")
+
     # grouped conv FCs per edge type (reference differentiate_convolutions)
     differentiate_convolutions: bool = True
 

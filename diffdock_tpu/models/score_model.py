@@ -184,6 +184,13 @@ class CGScoreModel(nn.Module):
         self.final_ladder = self._ladder(npe + n_joint)
         if cfg.confidence_mode:
             self.confidence_layers = self._build_confidence_mlp()
+            if cfg.affinity_prediction:
+                self.affinity_layers = ConfidenceMLP(
+                    ns=cfg.ns, out_dim=1,
+                    dropout=cfg.confidence_dropout,
+                    no_batchnorm=cfg.confidence_no_batchnorm,
+                    name="affinity_predictor",
+                )
         else:
             self._setup_score_heads()
 
@@ -245,9 +252,14 @@ class CGScoreModel(nn.Module):
 
     def _build_confidence_mlp(self):
         cfg = self.cfg
+        out_dim = cfg.num_confidence_outputs
+        if cfg.affinity_prediction:
+            # per-pose affinity features appended to the confidence outputs
+            # (reference aa_model.py:179-181 output_confidence_dim = 1 + ns)
+            out_dim += cfg.ns
         return ConfidenceMLP(
             ns=cfg.ns,
-            out_dim=cfg.num_confidence_outputs,
+            out_dim=out_dim,
             dropout=cfg.confidence_dropout,
             no_batchnorm=cfg.confidence_no_batchnorm,
             name="confidence_predictor",
@@ -628,4 +640,31 @@ class CGScoreModel(nn.Module):
             scalar = lig_node_attr[:, :ns]
         w = data.lig_mask[:, None].astype(scalar.dtype)
         pooled = (scalar * w).sum(0) / jnp.maximum(w.sum(), 1.0)
-        return self.confidence_layers(pooled[None], train=train)[0]
+        out = self.confidence_layers(pooled[None], train=train)[0]
+        if cfg.affinity_prediction and self.is_initializing():
+            # materialize the affinity MLP's params (it is only invoked via
+            # predict_affinity after the pose-set aggregation)
+            _ = self.affinity_layers(
+                jnp.zeros(
+                    (1, len(cfg.parallel_aggregators) * cfg.ns), out.dtype
+                ),
+                train=False,
+            )
+        return out
+
+    def predict_affinity(self, pose_feats, train: bool = False):
+        """Aggregate per-pose affinity features over the pose set and regress
+        one affinity (reference AGGREGATORS + affinity_predictor,
+        ``aa_model.py:16-19,448-454``). ``pose_feats``: (P, ns) — the last
+        ``ns`` confidence-head outputs of each pose."""
+        aggs = {
+            "mean": lambda x: jnp.mean(x, axis=0),
+            "max": lambda x: jnp.max(x, axis=0),
+            "min": lambda x: jnp.min(x, axis=0),
+            "std": lambda x: jnp.std(x, axis=0),
+        }
+        feats = jnp.concatenate(
+            [aggs[a](pose_feats) for a in self.cfg.parallel_aggregators]
+        )
+        # the reference's affinity MLP takes len(aggregators)*ns inputs
+        return self.affinity_layers(feats[None], train=train)[0, 0]

@@ -69,3 +69,24 @@ def test_pipeline_aa_confidence(setup):
     assert np.isfinite(res.confidence).all()
     # order sorts confidence descending
     assert (np.diff(res.confidence[res.order]) <= 1e-6).all()
+
+
+def test_pipeline_affinity_prediction(setup):
+    so3, torus, aa, score_cfg, sp = setup
+    conf_cfg = ScoreModelConfig(
+        ns=8, nv=2, num_conv_layers=2, num_prot_emb_layers=1,
+        confidence_mode=True, all_atoms=True, affinity_prediction=True,
+    )
+    conf_model = build_model(conf_cfg)
+    cp = conf_model.init(
+        jax.random.PRNGKey(1), jax.tree.map(jnp.asarray, aa),
+        jnp.asarray(aa.base.lig_pos), jnp.asarray(0.0), so3, torus,
+    )
+    pipe = DockingPipeline(
+        score_cfg, sp, SamplerConfig(inference_steps=2, actual_steps=2),
+        confidence_cfg=conf_cfg, confidence_params=cp,
+        so3_tables=so3, torus_tables=torus,
+    )
+    res = pipe.dock_complex(aa.base, num_poses=3, seed=0, aa_data=aa)
+    assert res.confidence.shape == (3,)
+    assert res.affinity is not None and np.isfinite(res.affinity)
