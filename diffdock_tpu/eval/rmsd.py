@@ -51,6 +51,55 @@ def molecular_automorphisms(
     return perms
 
 
+def qcp_rmsd(a: np.ndarray, b: np.ndarray) -> float:
+    """Minimum RMSD after optimal superposition via the quaternion
+    characteristic polynomial (reference vendored ``spyrmsd/qcp.py:15-288``,
+    Theobald 2005). Host-side numpy; used for alignment-invariant metrics
+    like conformer-matching quality."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    n = a.shape[0]
+    ac = a - a.mean(0)
+    bc = b - b.mean(0)
+    ga = (ac * ac).sum()
+    gb = (bc * bc).sum()
+    M = ac.T @ bc  # (3, 3)
+    # Davenport K matrix: its largest eigenvalue is the QCP lambda_max
+    Sxx, Sxy, Sxz = M[0]
+    Syx, Syy, Syz = M[1]
+    Szx, Szy, Szz = M[2]
+    K = np.array([
+        [Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx],
+        [Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz],
+        [Szx - Sxz, Sxy + Syx, -Sxx + Syy - Szz, Syz + Szy],
+        [Sxy - Syx, Szx + Sxz, Syz + Szy, -Sxx - Syy + Szz],
+    ])
+    lam = float(np.linalg.eigvalsh(K)[-1])
+    msd = max((ga + gb - 2.0 * lam) / n, 0.0)
+    return float(np.sqrt(msd))
+
+
+def hungarian_rmsd(
+    a: np.ndarray, b: np.ndarray, elements: Sequence[str]
+) -> float:
+    """Element-wise optimal-assignment RMSD (reference vendored
+    ``spyrmsd/hungarian.py:13-120``): within each element class, atoms of
+    ``b`` are re-assigned to atoms of ``a`` by solving the linear sum
+    assignment over squared distances."""
+    from scipy.optimize import linear_sum_assignment
+
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    elements = np.asarray(elements)
+    total, n = 0.0, a.shape[0]
+    for el in np.unique(elements):
+        idx = np.flatnonzero(elements == el)
+        cost = ((a[idx][:, None] - b[idx][None]) ** 2).sum(-1)
+        ri, ci = linear_sum_assignment(cost)
+        total += cost[ri, ci].sum()
+    return float(np.sqrt(total / n))
+
+
 def symmetry_rmsd(
     ref_coords: np.ndarray,
     pose_coords: np.ndarray,

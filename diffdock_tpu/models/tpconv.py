@@ -87,6 +87,9 @@ def _tp_message_reduced(tp, fc, blk: NeighborBlock, train: bool,
     x_nbr = blk.sender_attr.astype(cd)[blk.nbr_idx]  # (R, K, F_in)
     edge_sh = blk.edge_sh.astype(cd)
 
+    # all contractions run on (fan*d3)-merged axes: tiny minor axes like
+    # (fan=10, d3=3) tile-pad 17-57x on TPU (profiled), merged they pad
+    # at most 128/(fan*d3)
     outs = []
     for k, ((offset, fan, mul), ek) in enumerate(
         zip(tp.weight_slices(), tp.irreps_out)
@@ -96,26 +99,33 @@ def _tp_message_reduced(tp, fc, blk: NeighborBlock, train: bool,
                 jnp.zeros(blk.nbr_idx.shape[:-1] + (ek.dim,), h.dtype)
             )
             continue
-        coupled = tp.coupled_class(k, x_nbr, edge_sh)  # (R, K, fan, d3)
+        d3 = ek.ir.dim
+        coupled = tp.coupled_class_merged(k, x_nbr, edge_sh)  # (R, K, fan*d3)
         p_h = jnp.einsum(
-            "rkh,rkud->rhud", h, coupled,
+            "rkh,rkF->rhF", h, coupled,
             preferred_element_type=jnp.float32,
         )
         p_b = jnp.einsum(
-            "rk,rkud->rud", mw, coupled,
+            "rk,rkF->rF", mw, coupled,
             preferred_element_type=jnp.float32,
         )
         t_k = fc.out_kernel[:, offset : offset + fan * mul].reshape(
             fc.out_kernel.shape[0], fan, mul
         )
         b_k = fc.out_bias[offset : offset + fan * mul].reshape(fan, mul)
+        tt = tp.expand_weight_identity(t_k.astype(cd), d3)  # (H*fan*d3, mul*d3)
+        bb = tp.expand_bias_identity(b_k.astype(cd), d3)  # (fan*d3, mul*d3)
+        H = h.shape[-1]
         out_k = (
-            jnp.einsum("rhud,huw->rwd", p_h.astype(cd), t_k.astype(cd),
-                       preferred_element_type=jnp.float32)
-            + jnp.einsum("rud,uw->rwd", p_b.astype(cd), b_k.astype(cd),
+            jnp.einsum(
+                "rG,GW->rW",
+                p_h.astype(cd).reshape(p_h.shape[0], H * fan * d3),
+                tt, preferred_element_type=jnp.float32,
+            )
+            + jnp.einsum("rF,FW->rW", p_b.astype(cd), bb,
                          preferred_element_type=jnp.float32)
         ) / jnp.sqrt(jnp.asarray(fan, jnp.float32))
-        outs.append(out_k.reshape(out_k.shape[:-2] + (ek.dim,)))
+        outs.append(out_k)  # already (R, mul*d3) = (R, ek.dim)
     summed = jnp.concatenate(outs, axis=-1)
     counts = blk.nbr_mask.astype(jnp.float32).sum(axis=-1)
     return summed, counts

@@ -74,3 +74,41 @@ def test_min_self_distance():
     bonds = [(0, 1, 1)]
     # atoms 0 and 2 are non-bonded and 0.2 apart
     np.testing.assert_allclose(min_self_distances(pose, bonds), 0.2, atol=1e-9)
+
+
+def test_qcp_rmsd_matches_kabsch():
+    import numpy as np
+
+    from diffdock_tpu.eval.rmsd import qcp_rmsd
+
+    rng = np.random.RandomState(0)
+    a = rng.randn(20, 3)
+    # random rotation + translation of a, plus small noise
+    q = rng.randn(4); q /= np.linalg.norm(q)
+    w, x, y, z = q
+    R = np.array([
+        [1-2*(y*y+z*z), 2*(x*y-z*w), 2*(x*z+y*w)],
+        [2*(x*y+z*w), 1-2*(x*x+z*z), 2*(y*z-x*w)],
+        [2*(x*z-y*w), 2*(y*z+x*w), 1-2*(x*x+y*y)],
+    ])
+    noise = rng.randn(20, 3) * 0.01
+    b = (a + noise) @ R.T + np.array([5.0, -3.0, 2.0])
+    # QCP min RMSD ~ noise scale, far below the raw displacement
+    r = qcp_rmsd(a, b)
+    assert r < 0.05
+    # exact-superposition case: rmsd ~ 0
+    assert qcp_rmsd(a, a @ R.T + 1.0) < 1e-6
+
+
+def test_hungarian_rmsd_fixes_permutations():
+    import numpy as np
+
+    from diffdock_tpu.eval.rmsd import hungarian_rmsd, simple_rmsd
+
+    rng = np.random.RandomState(1)
+    a = rng.randn(12, 3) * 3
+    elements = ["C"] * 6 + ["O"] * 6
+    perm = np.concatenate([rng.permutation(6), 6 + rng.permutation(6)])
+    b = a[perm]
+    assert simple_rmsd(a, b) > 1.0
+    assert hungarian_rmsd(a, b, elements) < 1e-9
