@@ -46,6 +46,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--model_preset", default="diffdock_s",
                    help="preset when no --model_dir given (random weights)")
+    p.add_argument("--save_visualisation", action="store_true", default=False,
+                   help="write rankN_reverseprocess.pdb denoising trajectories")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="conv-layer compute dtype (bf16 validated to match "
@@ -164,6 +166,7 @@ def main(argv=None):
                 mol, protein, out,
                 num_poses=args.samples_per_complex, seed=args.seed,
                 lm_embeddings=lm,
+                save_trajectory=args.save_visualisation,
             )
         except Exception as e:  # noqa: BLE001 — skip-and-continue like the reference
             print(f"[{name}] FAILED: {type(e).__name__}: {e}", file=sys.stderr)

@@ -48,6 +48,7 @@ class DockingResult:
     confidence: Optional[np.ndarray]  # (P,) higher is better, or None
     order: np.ndarray  # (P,) indices sorted by confidence (best first)
     affinity: Optional[float] = None  # pose-set aggregated affinity
+    trajectory: Optional[np.ndarray] = None  # (steps+1, P, NL, 3) input frame
 
 
 class DockingPipeline:
@@ -82,7 +83,7 @@ class DockingPipeline:
         return self.confidence_cfg is not None and self.confidence_cfg.all_atoms
 
     # ------------------------------------------------------------------
-    def _program(self, num_poses: int, with_aa: bool):
+    def _program(self, num_poses: int, with_aa: bool, with_traj: bool = False):
         """The full docking program for one padded complex."""
 
         def run(key, data: ComplexData, aa_data):
@@ -110,7 +111,11 @@ class DockingPipeline:
                 k_diff, score_fn, data, init, self.sampler_cfg,
                 self.score_cfg.sigma, self.so3, self.torus,
                 no_torsion=self.score_cfg.no_torsion,
+                return_trajectory=with_traj,
             )
+            traj = jnp.zeros((0,))
+            if with_traj:
+                final, traj = final
 
             affinity = jnp.zeros(())
             if self.confidence_model is not None:
@@ -134,14 +139,17 @@ class DockingPipeline:
                     )
             else:
                 conf = jnp.zeros((num_poses,))
-            return final, conf, affinity
+            return final, conf, affinity, traj
 
         return run
 
-    def _get_compiled(self, bucket, num_poses: int, with_aa: bool):
-        key = bucket + (num_poses, with_aa)
+    def _get_compiled(self, bucket, num_poses: int, with_aa: bool,
+                      with_traj: bool = False):
+        key = bucket + (num_poses, with_aa, with_traj)
         if key not in self._compiled:
-            self._compiled[key] = jax.jit(self._program(num_poses, with_aa))
+            self._compiled[key] = jax.jit(
+                self._program(num_poses, with_aa, with_traj)
+            )
         return self._compiled[key]
 
     # ------------------------------------------------------------------
@@ -151,6 +159,7 @@ class DockingPipeline:
         num_poses: int = 10,
         seed: int = 0,
         aa_data: Optional[AAComplexData] = None,
+        return_trajectory: bool = False,
     ) -> DockingResult:
         nl, nr, nb = bucket_sizes(data.n_lig, data.n_rec, data.n_bonds)
         n_real = data.n_lig
@@ -167,10 +176,17 @@ class DockingPipeline:
         else:
             padded_aa, bucket = None, (nl, nr, nb, 0)
 
-        fn = self._get_compiled(bucket, num_poses, with_aa)
-        poses, conf, affinity = fn(jax.random.PRNGKey(seed), padded, padded_aa)
+        fn = self._get_compiled(bucket, num_poses, with_aa, return_trajectory)
+        poses, conf, affinity, traj = fn(
+            jax.random.PRNGKey(seed), padded, padded_aa
+        )
+        center = np.asarray(data.original_center)
         poses = np.asarray(poses)[:, :n_real]
-        poses = poses + np.asarray(data.original_center)[None, None]
+        poses = poses + center[None, None]
+        trajectory = (
+            np.asarray(traj)[:, :, :n_real] + center[None, None, None]
+            if return_trajectory else None
+        )
         conf = np.asarray(conf)
         order = np.argsort(-conf)
         has_conf = self.confidence_model is not None
@@ -180,6 +196,7 @@ class DockingPipeline:
             confidence=conf if has_conf else None,
             order=order if has_conf else np.arange(num_poses),
             affinity=float(affinity) if has_aff else None,
+            trajectory=trajectory,
         )
 
     # ------------------------------------------------------------------
@@ -209,6 +226,7 @@ class DockingPipeline:
         num_poses: int = 10,
         seed: int = 0,
         lm_embeddings: Optional[np.ndarray] = None,
+        save_trajectory: bool = False,
     ) -> DockingResult:
         """Dock an in-memory Molecule into a ProteinStructure (entry point
         for SMILES/sequence inputs via
@@ -220,10 +238,21 @@ class DockingPipeline:
         else:
             data, heavy_mol = build_complex_data(mol, protein, lm_embeddings)
         result = self.dock_complex(
-            data, num_poses=num_poses, seed=seed, aa_data=aa_data
+            data, num_poses=num_poses, seed=seed, aa_data=aa_data,
+            return_trajectory=save_trajectory,
         )
 
         os.makedirs(out_dir, exist_ok=True)
+        if save_trajectory and result.trajectory is not None:
+            from diffdock_tpu.utils.visualise import LigandTrajectoryWriter
+
+            for rank, idx in enumerate(result.order):
+                w = LigandTrajectoryWriter(heavy_mol.elements)
+                for frame in result.trajectory[:, idx]:
+                    w.add(frame)
+                w.write(os.path.join(
+                    out_dir, f"rank{rank + 1}_reverseprocess.pdb"
+                ))
         for rank, idx in enumerate(result.order):
             conf = (
                 float(result.confidence[idx])

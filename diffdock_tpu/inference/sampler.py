@@ -148,6 +148,7 @@ def reverse_diffusion(
     so3_tables: SO3Tables,
     torus_tables: TorusTables,
     no_torsion: bool = False,
+    return_trajectory: bool = False,
 ) -> jnp.ndarray:
     """Run the full reverse diffusion.
 
@@ -256,9 +257,13 @@ def reverse_diffusion(
                 )
             )(poses, tr_perturb, rot_perturb, tor_updates)
 
-        return (poses, k), None
+        return (poses, k), (poses if return_trajectory else None)
 
-    (final, _), _ = jax.lax.scan(
+    (final, _), traj = jax.lax.scan(
         step, (init_poses, key), (t_curr, t_next, is_last)
     )
+    if return_trajectory:
+        # (steps+1, P, NL, 3): initial poses then each denoised step
+        # (reference visualisation list, utils/sampling.py:96-101,139-151)
+        return final, jnp.concatenate([init_poses[None], traj], axis=0)
     return final

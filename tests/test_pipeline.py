@@ -90,3 +90,26 @@ def test_pipeline_affinity_prediction(setup):
     res = pipe.dock_complex(aa.base, num_poses=3, seed=0, aa_data=aa)
     assert res.confidence.shape == (3,)
     assert res.affinity is not None and np.isfinite(res.affinity)
+
+
+def test_pipeline_trajectory(setup, tmp_path):
+    so3, torus, aa, score_cfg, sp = setup
+    pipe = DockingPipeline(
+        score_cfg, sp, SamplerConfig(inference_steps=3, actual_steps=3),
+        so3_tables=so3, torus_tables=torus,
+    )
+    res = pipe.dock_complex(
+        aa.base, num_poses=2, seed=0, return_trajectory=True
+    )
+    assert res.trajectory is not None
+    assert res.trajectory.shape == (4, 2, aa.base.n_lig, 3)  # init + 3 steps
+    # trajectory ends at the final poses
+    np.testing.assert_allclose(res.trajectory[-1], res.poses, atol=1e-4)
+    # writer produces a multi-MODEL PDB
+    from diffdock_tpu.utils.visualise import LigandTrajectoryWriter
+
+    w = LigandTrajectoryWriter(["C"] * aa.base.n_lig)
+    for frame in res.trajectory[:, 0]:
+        w.add(frame)
+    text = w.to_pdb()
+    assert text.count("MODEL") == 4 and text.count("ENDMDL") == 4
