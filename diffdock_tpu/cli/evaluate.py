@@ -16,7 +16,11 @@ import numpy as np
 def get_parser():
     p = argparse.ArgumentParser(description="diffdock_tpu evaluation")
     p.add_argument("--data_dir", required=True,
-                   help="PDBBind-layout root")
+                   help="PDBBind-layout root (or MOAD root with --dataset moad)")
+    p.add_argument("--dataset", default="pdbbind",
+                   choices=["pdbbind", "moad"],
+                   help="moad = DockGen-style eval with min RMSD over all "
+                        "same-formula ground-truth poses in the cluster")
     p.add_argument("--split", default=None, help="file with complex names")
     p.add_argument("--model_dir", default=None)
     p.add_argument("--confidence_model_dir", default=None)
@@ -28,6 +32,8 @@ def get_parser():
     p.add_argument("--out_dir", default="results/evaluation")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cache_path", default="data/cache_tpu")
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
     return p
 
 
@@ -50,20 +56,48 @@ def main(argv=None):
         actual_steps=args.actual_steps,
         no_final_step_noise=True, ode=False, no_random=False,
         initial_noise_std_proportion=1.4601642460337794,
+        compute_dtype=args.compute_dtype,
     )
     pipeline = load_pipeline(dock_args)
 
-    specs = pdbbind_specs(args.data_dir, args.split)
-    if args.limit_complexes:
-        specs = specs[: args.limit_complexes]
-    ds = ComplexDataset(specs, DatasetConfig(cache_dir=args.cache_path))
-    ds.preprocess()
-    print(f"evaluating {len(ds)} complexes")
+    from diffdock_tpu.eval.metrics import min_self_distances
 
-    names, rmsd_rows, centroid_rows, run_times = [], [], [], []
-    spec_by_name = {s.name: s for s in specs}
-    for name in ds.names:
-        data = ds.get(name)
+    if args.dataset == "moad":
+        from diffdock_tpu.data.moad import MOADConfig, MOADDataset
+
+        moad = MOADDataset(MOADConfig(
+            moad_dir=args.data_dir, cache_dir=args.cache_path,
+            split="test", limit_complexes=args.limit_complexes,
+        ))
+        moad.preprocess()
+        eval_names = moad.names
+        get_data = moad.get_by_name
+        get_mol = lambda name: read_molecule_file(
+            os.path.join(moad._ligand_dir(), name + ".pdb")
+        ).remove_hs()
+        # DockGen metric: min over all same-formula ground truths
+        # (reference evaluate.py:474-484)
+        get_refs = moad.alternative_ground_truths
+    else:
+        specs = pdbbind_specs(args.data_dir, args.split)
+        if args.limit_complexes:
+            specs = specs[: args.limit_complexes]
+        ds = ComplexDataset(specs, DatasetConfig(cache_dir=args.cache_path))
+        ds.preprocess()
+        spec_by_name = {s.name: s for s in specs}
+        eval_names = ds.names
+        get_data = ds.get
+        get_mol = lambda name: read_molecule_file(
+            spec_by_name[name].ligand_path
+        ).remove_hs()
+        get_refs = None
+    print(f"evaluating {len(eval_names)} complexes")
+
+    names, rmsd_rows, centroid_rows, run_times, clash_rows = [], [], [], [], []
+    for name in eval_names:
+        data = get_data(name)
+        if data is None:
+            continue
         t0 = time.time()
         try:
             result = pipeline.dock_complex(
@@ -74,14 +108,26 @@ def main(argv=None):
             continue
         run_times.append(time.time() - t0)
 
-        mol = read_molecule_file(spec_by_name[name].ligand_path).remove_hs()
-        ref = np.asarray(data.lig_pos) + np.asarray(data.original_center)
+        mol = get_mol(name)
         bonds = [(i, j) for i, j, _ in mol.bonds]
         perms = molecular_automorphisms(mol.elements, bonds)
         ordered = result.poses[result.order]
-        rmsds = symmetry_rmsd(ref, ordered, mol.elements, bonds, perms=perms)
-        centroids = np.linalg.norm(
-            ordered.mean(axis=1) - ref.mean(axis=0), axis=-1
+        if get_refs is not None:
+            refs = get_refs(name)
+        else:
+            refs = [np.asarray(data.lig_pos) + np.asarray(data.original_center)]
+        rmsds = np.min(
+            [symmetry_rmsd(r, ordered, mol.elements, bonds, perms=perms)
+             for r in refs],
+            axis=0,
+        )
+        centroids = np.min(
+            [np.linalg.norm(ordered.mean(axis=1) - r.mean(axis=0), axis=-1)
+             for r in refs],
+            axis=0,
+        )
+        clash_rows.append(
+            [min_self_distances(p, bonds) for p in ordered]
         )
         names.append(name)
         rmsd_rows.append(rmsds)
@@ -95,8 +141,15 @@ def main(argv=None):
     np.save(os.path.join(args.out_dir, "centroid_distances.npy"), centroids)
     np.save(os.path.join(args.out_dir, "run_times.npy"), np.asarray(run_times))
     np.save(os.path.join(args.out_dir, "names.npy"), np.asarray(names))
+    np.save(os.path.join(args.out_dir, "min_self_distances.npy"),
+            np.asarray(clash_rows))
 
     table = compute_metric_table(rmsds, centroids, np.asarray(run_times))
+    if clash_rows:
+        # steric clash proxy (reference evaluate.py:486-505)
+        table["steric_clash_fraction"] = float(
+            (np.asarray(clash_rows)[:, 0] < 0.4).mean() * 100
+        )
     with open(os.path.join(args.out_dir, "metrics.json"), "w") as f:
         json.dump(table, f, indent=2)
     print(json.dumps(table, indent=2))

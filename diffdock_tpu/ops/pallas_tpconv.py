@@ -143,6 +143,9 @@ def _kernel(specs, H, n_t,
             ).astype(xp.dtype).reshape(B, K, p.d1 * d3)
             Ws.append(W)
 
+        # coupled features for ALL d components at once, d-major on the
+        # minor axis: C_all[b, k, dd*fan + u]
+        d_segs = []
         for dd in range(d3):
             segs = []
             for p, W in zip(spec.paths, Ws):
@@ -154,29 +157,38 @@ def _kernel(specs, H, n_t,
                     term = a_i * w_id[..., None]
                     C_p = term if C_p is None else C_p + term
                 segs.append(C_p)
-            C_d = segs[0] if len(segs) == 1 else jnp.concatenate(segs, -1)
-            # p_h[b, h, u] = sum_k h[b, k, h] C_d[b, k, u]
-            p_h = jax.lax.dot_general(
-                h, C_d,
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).astype(xp.dtype)  # (B, H, fan)
+            d_segs.append(
+                segs[0] if len(segs) == 1 else jnp.concatenate(segs, -1)
+            )
+        C_all = (
+            d_segs[0] if d3 == 1 else jnp.concatenate(d_segs, -1)
+        )  # (B, K, d3*fan)
+        fan = spec.fan
+
+        # one k-contraction for all d: p_h[b, h, dd*fan+u]
+        p_h = jax.lax.dot_general(
+            h, C_all,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(xp.dtype)  # (B, H, d3*fan)
+        p_b = jax.lax.dot_general(
+            mw, C_all,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(xp.dtype)  # (B, 1, d3*fan)
+
+        for dd in range(d3):
+            ph_d = p_h[:, :, dd * fan : (dd + 1) * fan]
             # out_h[b, w] = sum_{h,u} p_h[b, h, u] t[h, u, w]
-            p_h_t = jnp.transpose(p_h, (1, 0, 2))  # (H, B, fan)
+            p_h_t = jnp.transpose(ph_d, (1, 0, 2))  # (H, B, fan)
             r = jax.lax.dot_general(
                 p_h_t, t_k,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # (H, B, mul)
             out_h = jnp.sum(r, axis=0)  # (B, mul)
-            # bias path: p_b[b, u] = sum_k mw C_d
-            p_b = jax.lax.dot_general(
-                mw, C_d,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).astype(xp.dtype)  # (B, 1, fan)
             out_b = jax.lax.dot_general(
-                p_b[:, 0, :], b_k,
+                p_b[:, 0, dd * fan : (dd + 1) * fan], b_k,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (B, mul)
@@ -254,6 +266,9 @@ def factored_tp_messages_pallas(
         out_specs=pl.BlockSpec((B, out_dim), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Np, out_dim), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(xp, edge_sh, h, mw3, jnp.asarray(cg_all), *t_list, *b_list)
     out = out[:N]
