@@ -53,6 +53,20 @@ def get_parser():
     p.add_argument("--scheduler_patience", type=int, default=20)
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on N synthetic complexes (smoke/benchmark)")
+    # multi-dataset training (reference --dataset/--combined_training/
+    # --triple_training, datasets/loader.py:30-122)
+    p.add_argument("--dataset", default="pdbbind",
+                   choices=["pdbbind", "moad", "pdbsidechain"])
+    p.add_argument("--combined_training", action="store_true", default=False,
+                   help="pdbbind + moad")
+    p.add_argument("--triple_training", action="store_true", default=False,
+                   help="pdbbind + moad + pdbsidechain")
+    p.add_argument("--moad_dir", default=None)
+    p.add_argument("--pdbsidechain_dir", default=None)
+    p.add_argument("--chain_cutoff", type=float, default=None)
+    p.add_argument("--unroll_clusters", action="store_true", default=False)
+    p.add_argument("--remove_second_segment", action="store_true",
+                   default=False)
     return p
 
 
@@ -141,6 +155,33 @@ def main(argv=None):
                 )
 
         example = datas[0]
+    elif (
+        args.dataset != "pdbbind" or args.combined_training
+        or args.triple_training
+    ):
+        if args.triple_training:
+            args.combined_training = True
+        from diffdock_tpu.data.loaders import (
+            build_train_source, iter_bucketed_batches,
+        )
+
+        source = build_train_source(args)
+        print(f"dataset({args.dataset}"
+              f"{'+combined' if args.combined_training else ''}): "
+              f"{len(source)} complexes/epoch")
+
+        def batches(epoch):
+            yield from iter_bucketed_batches(
+                source.epoch_items(epoch), args.batch_size
+            )
+
+        from diffdock_tpu.data.complexes import bucket_sizes, pad_to
+
+        example = next(source.epoch_items(0))[1]
+        example = pad_to(
+            example,
+            *bucket_sizes(example.n_lig, example.n_rec, example.n_bonds),
+        )
     else:
         assert args.data_dir, "need --data_dir or --synthetic"
         ds = build_dataset(args)
@@ -214,10 +255,17 @@ def main(argv=None):
             if args.synthetic:
                 n_val = min(args.num_inference_complexes, len(datas))
                 val_items = [(str(i), datas[i]) for i in range(n_val)]
-            else:
+            elif "ds" in locals():
                 val_items = [
                     (nm, ds.get(nm))
                     for nm in ds.names[: args.num_inference_complexes]
+                ]
+            else:
+                val_items = [
+                    it for _, it in zip(
+                        range(args.num_inference_complexes),
+                        source.epoch_items(10_000 + epoch),
+                    )
                 ]
             val_datas = {
                 n: jax.tree.map(np.asarray, d) for n, d in val_items
