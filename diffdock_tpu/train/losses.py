@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from diffdock_tpu.diffusion.schedules import SigmaConfig, t_to_sigma
@@ -31,6 +32,7 @@ class LossParts(NamedTuple):
     tr_base: jnp.ndarray
     rot_base: jnp.ndarray
     tor_base_sum: jnp.ndarray
+    t: jnp.ndarray  # diffusion time, for sigma-interval logging
 
 
 def per_complex_losses(
@@ -65,6 +67,7 @@ def per_complex_losses(
         tr_base=tr_base,
         rot_base=rot_base,
         tor_base_sum=jnp.sum(tor_base_sq * m),
+        t=t,
     )
 
 
@@ -93,3 +96,27 @@ def total_loss(
         / jnp.maximum(jnp.sum(parts.tor_count), 1e-4),
     }
     return loss, metrics
+
+
+def sigma_interval_metrics(parts: LossParts, n_buckets: int = 10):
+    """Per-sigma-interval component losses (reference 10-bucket AverageMeter
+    logging, ``utils/training.py:216-238``): each metric is an (n_buckets,)
+    array over t in [i/n, (i+1)/n); empty buckets report NaN."""
+    bucket = jnp.clip(
+        jnp.floor(parts.t * n_buckets).astype(jnp.int32), 0, n_buckets - 1
+    )
+    onehot = jax.nn.one_hot(bucket, n_buckets, dtype=parts.tr.dtype)  # (B, n)
+    counts = onehot.sum(0)
+    safe = jnp.maximum(counts, 1.0)
+    out = {
+        "tr_loss_by_sigma": (onehot * parts.tr[:, None]).sum(0) / safe,
+        "rot_loss_by_sigma": (onehot * parts.rot[:, None]).sum(0) / safe,
+        "tor_loss_by_sigma": (onehot * parts.tor_sum[:, None]).sum(0)
+        / jnp.maximum((onehot * parts.tor_count[:, None]).sum(0), 1e-4),
+        "sigma_bucket_counts": counts,
+    }
+    nan = jnp.nan * counts
+    return {
+        k: jnp.where(counts > 0, v, nan) if k != "sigma_bucket_counts" else v
+        for k, v in out.items()
+    }

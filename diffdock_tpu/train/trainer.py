@@ -43,6 +43,9 @@ class TrainConfig:
     sampling_beta: float = 1.0
     grad_clip: Optional[float] = None
     warmup_steps: int = 0
+    # per-sigma-interval loss breakdown (reference 10-bucket logging,
+    # utils/training.py:216-238); adds (10,) arrays to the step metrics
+    log_sigma_intervals: bool = False
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -153,6 +156,10 @@ def make_train_step(
                 parts, train_cfg.tr_weight, train_cfg.rot_weight,
                 train_cfg.tor_weight,
             )
+            if train_cfg.log_sigma_intervals:
+                from diffdock_tpu.train.losses import sigma_interval_metrics
+
+                metrics.update(sigma_interval_metrics(parts))
             # stats were aggregated across the named axes inside BN, so all
             # vmapped copies are identical — keep one.
             new_stats = jax.tree.map(lambda x: x[0], new_stats)

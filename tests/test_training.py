@@ -211,3 +211,20 @@ def test_dp_grads_are_synchronized(setup):
     assert np.isfinite(float(metrics["loss"]))
     for leaf in jax.tree.leaves(state.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_sigma_interval_metrics(setup):
+    so3, torus, cfg, model, datas = setup
+    tc = TrainConfig(log_sigma_intervals=True)
+    state = create_train_state(model, datas[0], so3, torus, tc,
+                               jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(model, tc, so3, torus))
+    batch = _stack(datas)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert metrics["tr_loss_by_sigma"].shape == (10,)
+    counts = np.asarray(metrics["sigma_bucket_counts"])
+    assert counts.sum() == 4
+    vals = np.asarray(metrics["tr_loss_by_sigma"])
+    # populated buckets finite, empty buckets NaN
+    assert np.isfinite(vals[counts > 0]).all()
+    assert np.isnan(vals[counts == 0]).all()
