@@ -28,7 +28,11 @@ def get_parser():
     p.add_argument("--pose_cache", default="data/confidence_poses")
     p.add_argument("--samples_per_complex", type=int, default=8)
     p.add_argument("--inference_steps", type=int, default=8)
-    p.add_argument("--rmsd_classification_cutoff", type=float, default=2.0)
+    p.add_argument("--rmsd_classification_cutoff", type=float, nargs="+",
+                   default=[2.0],
+                   help="one cutoff -> BCE; several -> CE over RMSD bins")
+    p.add_argument("--rmsd_prediction", action="store_true", default=False,
+                   help="regress RMSD instead of classifying")
     p.add_argument("--n_epochs", type=int, default=50)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--lr", type=float, default=3e-4)
@@ -140,11 +144,17 @@ def main(argv=None):
               f"min rmsd {rmsds.min():.2f}")
 
     # --- phase 2: train the confidence classifier ---
+    tcfg = ConfidenceTrainConfig(
+        rmsd_classification_cutoff=tuple(args.rmsd_classification_cutoff),
+        rmsd_prediction=args.rmsd_prediction,
+        samples_per_complex=args.samples_per_complex, lr=args.lr,
+    )
     conf_cfg = training_model_config(
         ScoreModelConfig(
             ns=args.ns, nv=args.nv, num_conv_layers=args.num_conv_layers,
             num_prot_emb_layers=args.num_prot_emb_layers,
             confidence_mode=True, all_atoms=args.all_atoms,
+            num_confidence_outputs=tcfg.num_outputs,
         ),
         data_parallel=False,
     )
@@ -158,10 +168,6 @@ def main(argv=None):
         jnp.asarray(0.0), so3, torus,
     )
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
-    tcfg = ConfidenceTrainConfig(
-        rmsd_classification_cutoff=args.rmsd_classification_cutoff,
-        samples_per_complex=args.samples_per_complex, lr=args.lr,
-    )
     train_step, tx = make_confidence_train_step(conf_model, tcfg, so3, torus)
     train_step = jax.jit(train_step)
     opt_state = tx.init(params)
@@ -185,17 +191,19 @@ def main(argv=None):
                 jnp.asarray(samples[n][0][k]) - jnp.asarray(datas[n].original_center)
                 for n, k in zip(batch_names, pose_sel)
             ])
-            labels = jnp.asarray([
-                float(samples[n][1][k] < tcfg.rmsd_classification_cutoff)
-                for n, k in zip(batch_names, pose_sel)
-            ])
+            labels = jnp.asarray(tcfg.labels_from_rmsds([
+                samples[n][1][k] for n, k in zip(batch_names, pose_sel)
+            ]))
             params, batch_stats, opt_state, m = train_step(
                 params, batch_stats, opt_state, (stacked, poses, labels),
                 jax.random.PRNGKey(epoch * 1000 + start),
             )
             losses.append(float(m["loss"]))
             accs.append(float(m["accuracy"]))
-        print(f"epoch {epoch}: bce {np.mean(losses):.4f} acc {np.mean(accs):.3f}")
+        kind = "mse" if tcfg.rmsd_prediction else (
+            "bce" if tcfg.num_outputs == 1 else "ce")
+        print(f"epoch {epoch}: {kind} {np.mean(losses):.4f} "
+              f"acc {np.mean(accs):.3f}")
         save_checkpoint(
             args.log_dir, {"params": params, "batch_stats": batch_stats},
             conf_cfg, extra={"epoch": epoch},

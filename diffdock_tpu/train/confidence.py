@@ -25,10 +25,33 @@ from diffdock_tpu.eval.rmsd import molecular_automorphisms, symmetry_rmsd
 
 @dataclasses.dataclass(frozen=True)
 class ConfidenceTrainConfig:
-    rmsd_classification_cutoff: float = 2.0
+    # one cutoff -> BCE; several -> multi-class CE over RMSD bins
+    # (reference confidence_train.py:119-135 list-valued cutoff)
+    rmsd_classification_cutoff: Tuple[float, ...] = (2.0,)
+    # regress RMSD directly instead of classifying (reference
+    # --rmsd_prediction, confidence_train.py:137-142)
+    rmsd_prediction: bool = False
     samples_per_complex: int = 8
     lr: float = 3e-4
     w_decay: float = 0.0
+
+    @property
+    def num_outputs(self) -> int:
+        if self.rmsd_prediction:
+            return 1
+        n = len(self.rmsd_classification_cutoff)
+        return 1 if n == 1 else n + 1
+
+    def labels_from_rmsds(self, rmsds) -> "np.ndarray":
+        """BCE: float(rmsd < cutoff); multi-cutoff: bin index
+        sum(rmsd > cutoffs); regression: the rmsd itself."""
+        rmsds = np.asarray(rmsds, np.float32)
+        if self.rmsd_prediction:
+            return rmsds
+        cuts = np.asarray(self.rmsd_classification_cutoff, np.float32)
+        if cuts.size == 1:
+            return (rmsds < cuts[0]).astype(np.float32)
+        return (rmsds[..., None] > cuts).sum(axis=-1).astype(np.float32)
 
 
 def generate_poses_for_complex(
@@ -52,13 +75,16 @@ def generate_poses_for_complex(
 
 
 def make_confidence_train_step(model, cfg: ConfidenceTrainConfig, so3, torus):
-    """Binary cross-entropy step over a batch of (complex, pose, label).
+    """Confidence training step over a batch of (complex, pose, label):
+    BCE for a single cutoff, softmax CE over RMSD bins for several, MSE for
+    rmsd_prediction (reference ``confidence_train.py:111-142``).
 
     ``batch``: (datas stacked, poses (B, NL, 3), labels (B,)).
     """
     import optax
 
     tx = optax.adam(cfg.lr)
+    n_out = cfg.num_outputs
 
     def train_step(params, batch_stats, opt_state, batch, rng):
         datas, poses, labels = batch
@@ -71,16 +97,31 @@ def make_confidence_train_step(model, cfg: ConfidenceTrainConfig, so3, torus):
                     train=True, mutable=["batch_stats"],
                     rngs={"dropout": dkey},
                 )
-                return out[..., 0], mut["batch_stats"]
+                return out[..., :n_out], mut["batch_stats"]
 
             keys = jax.random.split(rng, labels.shape[0])
             logits, new_stats = jax.vmap(one, axis_name="batch")(
                 datas, poses, keys
             )
-            loss = jnp.mean(
-                optax.sigmoid_binary_cross_entropy(logits, labels)
-            )
-            acc = jnp.mean((logits > 0) == (labels > 0.5))
+            if cfg.rmsd_prediction:
+                pred = logits[..., 0]
+                loss = jnp.mean((pred - labels) ** 2)
+                acc = jnp.mean(jnp.abs(pred - labels))  # MAE as 'accuracy'
+            elif n_out == 1:
+                loss = jnp.mean(
+                    optax.sigmoid_binary_cross_entropy(
+                        logits[..., 0], labels
+                    )
+                )
+                acc = jnp.mean((logits[..., 0] > 0) == (labels > 0.5))
+            else:
+                idx = labels.astype(jnp.int32)
+                loss = jnp.mean(
+                    optax.softmax_cross_entropy_with_integer_labels(
+                        logits, idx
+                    )
+                )
+                acc = jnp.mean(jnp.argmax(logits, -1) == idx)
             new_stats = jax.tree.map(lambda x: x[0], new_stats)
             return loss, (acc, new_stats)
 
