@@ -254,7 +254,10 @@ def build_receptor_arrays(
     chain_order = {c: i for i, c in enumerate(protein.chains())}
     chain_ids = np.asarray([chain_order[r.chain] for r in residues], np.int32)
 
+    from diffdock_tpu.data.chi import side_chain_vecs as _scv
+
     return dict(
+        side_chain_vecs=_scv(protein),
         rec_cat=rec_cat,
         rec_lm=rec_lm,
         rec_mask=np.ones(len(residues), bool),
