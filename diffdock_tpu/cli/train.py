@@ -43,7 +43,11 @@ def get_parser():
     p.add_argument("--nv", type=int, default=None)
     p.add_argument("--num_conv_layers", type=int, default=None)
     p.add_argument("--num_prot_emb_layers", type=int, default=None)
-    p.add_argument("--restart_dir", default=None)
+    p.add_argument("--restart_dir", default=None,
+                   help="resume full train state (params+EMA+optimizer+step)")
+    p.add_argument("--pretrain_dir", default=None,
+                   help="initialize weights only (reference --pretrain_dir, "
+                        "train.py:201-204)")
     p.add_argument("--val_inference_freq", type=int, default=0,
                    help="every N epochs run reverse diffusion on val complexes")
     p.add_argument("--num_inference_complexes", type=int, default=20)
@@ -197,8 +201,32 @@ def main(argv=None):
         model, example, so3, torus, tc, jax.random.PRNGKey(args.seed)
     )
     if args.restart_dir:
-        state = load_train_state(args.restart_dir, state)
-        print(f"restarted from {args.restart_dir} at step {int(state.step)}")
+        try:
+            state = load_train_state(args.restart_dir, state)
+            print(f"restarted from {args.restart_dir} "
+                  f"at step {int(state.step)}")
+        except Exception as e:  # noqa: BLE001 — reference fallback to
+            # weights-only when the full state fails (train.py:187-200)
+            from diffdock_tpu.train.checkpoints import load_checkpoint
+
+            print(f"full train state unavailable ({e}); "
+                  "falling back to weights-only restart")
+            variables, _, _ = load_checkpoint(args.restart_dir)
+            state = state.replace(
+                params=variables["params"],
+                ema_params=variables["params"],
+                batch_stats=variables.get("batch_stats", state.batch_stats),
+            )
+    elif args.pretrain_dir:
+        from diffdock_tpu.train.checkpoints import load_checkpoint
+
+        variables, _, _ = load_checkpoint(args.pretrain_dir)
+        state = state.replace(
+            params=variables["params"],
+            ema_params=variables["params"],
+            batch_stats=variables.get("batch_stats", state.batch_stats),
+        )
+        print(f"pretrained weights loaded from {args.pretrain_dir}")
 
     if args.data_parallel:
         mesh = make_mesh()
@@ -219,9 +247,16 @@ def main(argv=None):
         t0 = time.time()
         losses = []
         for names, batch in batches(epoch):
-            batch = jax.tree.map(jnp.asarray, batch)
-            state, metrics = step(state, batch, rng)
-            losses.append(float(metrics["loss"]))
+            try:
+                batch = jax.tree.map(jnp.asarray, batch)
+                state, metrics = step(state, batch, rng)
+                losses.append(float(metrics["loss"]))
+            except Exception as e:  # noqa: BLE001 — skip-and-continue like
+                # the reference's OOM recovery (utils/training.py:187-205);
+                # on TPU this catches compile/transfer failures per bucket
+                print(f"  batch {names[:2]}... failed: "
+                      f"{type(e).__name__}: {e}")
+                continue
         mean_loss = float(np.mean(losses)) if losses else float("nan")
         history.append(mean_loss)
         print(

@@ -228,3 +228,31 @@ def test_sigma_interval_metrics(setup):
     # populated buckets finite, empty buckets NaN
     assert np.isfinite(vals[counts > 0]).all()
     assert np.isnan(vals[counts == 0]).all()
+
+
+def test_train_cli_pretrain_and_fallback(tmp_path):
+    """--pretrain_dir loads weights only; --restart_dir falls back to
+    weights when the full train state is missing."""
+    from diffdock_tpu.cli.train import main
+
+    common = [
+        "--synthetic", "4", "--batch_size", "2",
+        "--model_preset", "diffdock_s", "--ns", "8", "--nv", "2",
+        "--num_conv_layers", "2", "--num_prot_emb_layers", "0",
+    ]
+    run1 = tmp_path / "run1"
+    assert main(common + ["--n_epochs", "1", "--log_dir", str(run1)]) == 0
+
+    # strip the full train state -> restart must fall back to weights-only
+    (run1 / "train_state.msgpack").unlink()
+    run2 = tmp_path / "run2"
+    assert main(common + [
+        "--n_epochs", "1", "--log_dir", str(run2),
+        "--restart_dir", str(run1),
+    ]) == 0
+
+    run3 = tmp_path / "run3"
+    assert main(common + [
+        "--n_epochs", "1", "--log_dir", str(run3),
+        "--pretrain_dir", str(run1),
+    ]) == 0
