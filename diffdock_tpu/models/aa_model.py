@@ -56,6 +56,9 @@ class AAScoreModel(CGScoreModel):
 
     def setup(self):
         cfg = self.cfg
+        # smooth edge ramps are a score-model training option; the reference
+        # never enables them for the all-atom confidence model
+        assert not cfg.smooth_edges, "smooth_edges unsupported in AA model"
         self._setup_base()
         self.atom_node_embedding = AtomEncoder(
             emb_dim=cfg.ns, categorical_dims=AA_ATOM_CATEGORICAL_DIMS,

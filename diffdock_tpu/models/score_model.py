@@ -46,6 +46,7 @@ class RecCache(NamedTuple):
     node_attr: jnp.ndarray  # (NR, F)
     edge_attr: jnp.ndarray  # (NR, KR, ns)
     edge_sh: jnp.ndarray  # (NR, KR, sh_dim)
+    edge_weight: Optional[jnp.ndarray] = None  # (NR, KR) smooth-edge ramp
 
 
 class ScoreOutput(NamedTuple):
@@ -109,6 +110,14 @@ def _pairwise(sender_pos: jnp.ndarray, receiver_pos: jnp.ndarray):
 
 class CGScoreModel(nn.Module):
     cfg: ScoreModelConfig
+
+    # cosine edge-weight ramp (reference ``get_edge_weight``,
+    # ``cg_model.py:459-465``); None when smooth_edges is off
+    def _edge_weight(self, dist, max_norm):
+        if not self.cfg.smooth_edges:
+            return None
+        x = jnp.clip(dist * jnp.pi / max_norm, max=jnp.pi)
+        return 0.5 * (jnp.cos(x) + 1.0)
 
     # ------------------------------------------------------------------
     # setup, split so the all-atom subclass can share everything except the
@@ -281,6 +290,7 @@ class CGScoreModel(nn.Module):
             self.rec_distance_expansion(dist), train=train
         )
         edge_sh = spherical_harmonics(vec, cfg.sh_lmax)
+        edge_weight = self._edge_weight(dist, cfg.rec_max_radius)
 
         for layer in self.rec_emb_layers:
             recv = jnp.broadcast_to(
@@ -291,11 +301,12 @@ class CGScoreModel(nn.Module):
             block = NeighborBlock(
                 sender_attr=node_attr, nbr_idx=data.rec_nbr,
                 nbr_mask=data.rec_nbr_mask, edge_attr=full_edge_attr,
-                edge_sh=edge_sh,
+                edge_sh=edge_sh, edge_weight=edge_weight,
             )
             node_attr = layer(node_attr, [block], data.rec_mask, train=train)
 
-        return RecCache(node_attr=node_attr, edge_attr=edge_attr, edge_sh=edge_sh)
+        return RecCache(node_attr=node_attr, edge_attr=edge_attr,
+                        edge_sh=edge_sh, edge_weight=edge_weight)
 
     # ------------------------------------------------------------------
     # ligand embedding (per step: positions and sigma change)
@@ -342,7 +353,10 @@ class CGScoreModel(nn.Module):
         radius_attr = self.lig_edge_embedding(radius_raw, train=train)
         radius_sh = spherical_harmonics(rvec, cfg.sh_lmax)
         all_idx = jnp.broadcast_to(jnp.arange(nl)[None, :], (nl, nl))
-        return bond_attr, bond_sh, radius_attr, radius_sh, rmask, all_idx
+        bond_w = self._edge_weight(bdist, cfg.lig_max_radius)
+        radius_w = self._edge_weight(rdist, cfg.lig_max_radius)
+        return (bond_attr, bond_sh, radius_attr, radius_sh, rmask, all_idx,
+                bond_w, radius_w)
 
     @staticmethod
     def _with_scalars(ns, node_attr, base_attr, nbr_idx):
@@ -354,17 +368,18 @@ class CGScoreModel(nn.Module):
 
     def _lig_blocks_from_graph(self, data, graph, node_attr):
         ns = self.cfg.ns
-        bond_attr, bond_sh, radius_attr, radius_sh, rmask, all_idx = graph
+        (bond_attr, bond_sh, radius_attr, radius_sh, rmask, all_idx,
+         bond_w, radius_w) = graph
         bond_block = NeighborBlock(
             sender_attr=node_attr, nbr_idx=data.lig_bond_nbr,
             nbr_mask=data.lig_bond_mask,
             edge_attr=self._with_scalars(ns, node_attr, bond_attr, data.lig_bond_nbr),
-            edge_sh=bond_sh,
+            edge_sh=bond_sh, edge_weight=bond_w,
         )
         radius_block = NeighborBlock(
             sender_attr=node_attr, nbr_idx=all_idx, nbr_mask=rmask,
             edge_attr=self._with_scalars(ns, node_attr, radius_attr, all_idx),
-            edge_sh=radius_sh,
+            edge_sh=radius_sh, edge_weight=radius_w,
         )
         return bond_block, radius_block
 
@@ -441,6 +456,8 @@ class CGScoreModel(nn.Module):
         cross_attr = self.cross_edge_embedding(cross_raw, train=train)
         cross_sh = spherical_harmonics(cvec, cfg.sh_lmax)
         rev_cross_sh = spherical_harmonics(-jnp.swapaxes(cvec, 0, 1), cfg.sh_lmax)
+        cross_w = self._edge_weight(cdist, cross_cutoff)
+        rev_cross_w = None if cross_w is None else jnp.swapaxes(cross_w, 0, 1)
         rec_idx_all = jnp.broadcast_to(jnp.arange(nr)[None, :], (nl, nr))
         lig_idx_all = jnp.broadcast_to(jnp.arange(nl)[None, :], (nr, nl))
 
@@ -462,7 +479,7 @@ class CGScoreModel(nn.Module):
                 edge_attr=cross_with_scalars(
                     lig_node_attr, rec_node_attr, cross_attr, nl, rec_idx_all
                 ),
-                edge_sh=cross_sh,
+                edge_sh=cross_sh, edge_weight=cross_w,
             )
             lig_blocks = [bond_block, radius_block, lig_cross_block]
             lig_groups = (0, 0, 1)
@@ -480,6 +497,7 @@ class CGScoreModel(nn.Module):
                         [rec_edge_attr_base, recv, send], axis=-1
                     ),
                     edge_sh=rec_cache.edge_sh,
+                    edge_weight=rec_cache.edge_weight,
                 )
                 rec_cross_block = NeighborBlock(
                     sender_attr=lig_node_attr, nbr_idx=lig_idx_all,
@@ -488,7 +506,7 @@ class CGScoreModel(nn.Module):
                         rec_node_attr, lig_node_attr,
                         jnp.swapaxes(cross_attr, 0, 1), nr, lig_idx_all,
                     ),
-                    edge_sh=rev_cross_sh,
+                    edge_sh=rev_cross_sh, edge_weight=rev_cross_w,
                 )
                 rec_blocks = [rec_rec_block, rec_cross_block]
                 rec_groups = (2, 3)
@@ -615,6 +633,7 @@ class CGScoreModel(nn.Module):
             nbr_mask=mask,
             edge_attr=full_edge_attr,
             edge_sh=tor_edge_sh,
+            edge_weight=self._edge_weight(dist, cfg.lig_max_radius),
         )
         out = self.tor_bond_conv(None, [block], data.rot_mask, train=train)
         out = self.tor_final_dense1(out)

@@ -146,3 +146,28 @@ def test_confidence_mode(setup):
     out = model.apply(params, data, data.lig_pos, jnp.asarray(0.0), so3, torus)
     assert out.shape == (1,)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_smooth_edges_changes_outputs(setup):
+    """smooth_edges applies the cosine ramp (reference cg_model.py:459-465):
+    outputs differ from hard edges but remain finite; the ramp itself decays
+    from 1 at distance 0 to 0 at max_norm."""
+    import dataclasses
+
+    cfg, model, data, so3, torus, params = setup
+    model_s = CGScoreModel(dataclasses.replace(cfg, smooth_edges=True))
+    w = model_s._edge_weight(jnp.asarray([0.0, 10.0, 20.0, 30.0]), 20.0)
+    np.testing.assert_allclose(np.asarray(w), [1.0, 0.5, 0.0, 0.0], atol=1e-6)
+
+    p = jax.jit(model_s.init)(
+        jax.random.PRNGKey(0), data, data.lig_pos, jnp.asarray(0.5), so3, torus
+    )
+    out_s = jax.jit(
+        lambda v, d: model_s.apply(v, d, d.lig_pos, jnp.asarray(0.5), so3, torus)
+    )(p, data)
+    assert np.isfinite(np.asarray(out_s.tr)).all()
+
+    out_h = jax.jit(
+        lambda v, d: model.apply(v, d, d.lig_pos, jnp.asarray(0.5), so3, torus)
+    )(p, data)
+    assert np.abs(np.asarray(out_s.tr) - np.asarray(out_h.tr)).max() > 1e-6
