@@ -95,17 +95,33 @@ def main(argv=None):
         so3_tables=so3, torus_tables=torus,
     )
 
-    # --- dataset ---
+    # --- dataset (AAComplexData when --all_atoms: the reference's default
+    # confidence architecture is all-atom, inference.py:84) ---
+    from diffdock_tpu.data.complexes import AAComplexData, pad_aa_to
+
     if args.synthetic:
         rng = np.random.RandomState(args.seed)
-        raw = [
-            synthetic_complex(rng, n_lig=12, n_rec=32, n_bonds=3)
-            for _ in range(args.synthetic)
-        ]
-        datas = {str(i): pad_to(d, 16, 64, 8) for i, d in enumerate(raw)}
+        if args.all_atoms:
+            from diffdock_tpu.data.complexes import synthetic_aa_complex
+
+            raw = [
+                synthetic_aa_complex(rng, n_lig=12, n_rec=32, n_bonds=3)
+                for _ in range(args.synthetic)
+            ]
+            datas = {
+                str(i): pad_aa_to(d, 16, 64, 8, 256)
+                for i, d in enumerate(raw)
+            }
+        else:
+            raw = [
+                synthetic_complex(rng, n_lig=12, n_rec=32, n_bonds=3)
+                for _ in range(args.synthetic)
+            ]
+            datas = {str(i): pad_to(d, 16, 64, 8) for i, d in enumerate(raw)}
         topo = {str(i): None for i in range(len(raw))}
     else:
         from diffdock_tpu.data.chem import read_molecule_file
+        from diffdock_tpu.data.complexes import bucket_sizes
         from diffdock_tpu.data.datasets import (
             ComplexDataset, DatasetConfig, pdbbind_specs,
         )
@@ -113,9 +129,31 @@ def main(argv=None):
         specs = pdbbind_specs(args.data_dir, args.split_train)
         if args.limit_complexes:
             specs = specs[: args.limit_complexes]
-        ds = ComplexDataset(specs, DatasetConfig(cache_dir=args.cache_path))
+        ds = ComplexDataset(specs, DatasetConfig(
+            cache_dir=args.cache_path, all_atoms=args.all_atoms,
+        ))
         ds.preprocess()
         datas = {n: ds.get(n) for n in ds.names}
+        # pad every complex to shared buckets so one compilation serves all
+        if datas:
+            bases = {
+                n: (d.base if isinstance(d, AAComplexData) else d)
+                for n, d in datas.items()
+            }
+            buckets = [
+                bucket_sizes(b.n_lig, b.n_rec, b.n_bonds)
+                for b in bases.values()
+            ]
+            nl, nr, nb = (max(b[i] for b in buckets) for i in range(3))
+            if args.all_atoms:
+                na = max(
+                    ((d.n_atoms + 255) // 256) * 256 for d in datas.values()
+                )
+                datas = {
+                    n: pad_aa_to(d, nl, nr, nb, na) for n, d in datas.items()
+                }
+            else:
+                datas = {n: pad_to(d, nl, nr, nb) for n, d in datas.items()}
         topo = {}
         for s in specs:
             if s.name in datas:
@@ -133,8 +171,9 @@ def main(argv=None):
             samples[name] = (z["poses"], z["rmsds"])
             continue
         el_bonds = topo.get(name)
+        gen_data = data.base if isinstance(data, AAComplexData) else data
         poses, rmsds = generate_poses_for_complex(
-            pipeline, data, args.samples_per_complex, seed=args.seed + i,
+            pipeline, gen_data, args.samples_per_complex, seed=args.seed + i,
             elements=None if el_bonds is None else el_bonds[0],
             bonds=None if el_bonds is None else el_bonds[1],
         )
@@ -158,13 +197,13 @@ def main(argv=None):
         ),
         data_parallel=False,
     )
-    assert not args.all_atoms, "AA confidence training wiring lands with AA datasets"
     conf_model = build_model(conf_cfg)
     name0 = next(iter(datas))
     d0 = jax.tree.map(jnp.asarray, datas[name0])
+    d0_base = d0.base if isinstance(d0, AAComplexData) else d0
     variables = jax.jit(conf_model.init)(
         jax.random.PRNGKey(args.seed), d0,
-        jnp.asarray(samples[name0][0][0]) - d0.original_center,
+        jnp.asarray(samples[name0][0][0]) - d0_base.original_center,
         jnp.asarray(0.0), so3, torus,
     )
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
@@ -187,8 +226,12 @@ def main(argv=None):
             pose_sel = [
                 rng_np.randint(samples[n][0].shape[0]) for n in batch_names
             ]
+            def center_of(d):
+                b = d.base if isinstance(d, AAComplexData) else d
+                return jnp.asarray(b.original_center)
+
             poses = jnp.stack([
-                jnp.asarray(samples[n][0][k]) - jnp.asarray(datas[n].original_center)
+                jnp.asarray(samples[n][0][k]) - center_of(datas[n])
                 for n, k in zip(batch_names, pose_sel)
             ])
             labels = jnp.asarray(tcfg.labels_from_rmsds([

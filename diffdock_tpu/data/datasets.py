@@ -18,20 +18,39 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from diffdock_tpu.data.complexes import ComplexData, bucket_sizes, pad_to
+from diffdock_tpu.data.complexes import (
+    AAComplexData, ComplexData, bucket_sizes, pad_to,
+)
 from diffdock_tpu.data.chem import read_molecule_file, read_pdb_file
-from diffdock_tpu.data.featurize import build_complex_data
+from diffdock_tpu.data.featurize import build_aa_complex_data, build_complex_data
 
 _FIELDS = ComplexData._fields
+_AA_FIELDS = tuple(f for f in AAComplexData._fields if f != "base")
 
 
-def save_complex_npz(path: str, data: ComplexData) -> None:
-    np.savez_compressed(path, **{f: np.asarray(getattr(data, f)) for f in _FIELDS})
+def save_complex_npz(path: str, data) -> None:
+    """Save a ComplexData or AAComplexData (atom fields get an ``atom__``-
+    style prefix so one .npz holds both)."""
+    if isinstance(data, AAComplexData):
+        payload = {f: np.asarray(getattr(data.base, f)) for f in _FIELDS}
+        payload.update({
+            f"aa__{f}": np.asarray(getattr(data, f)) for f in _AA_FIELDS
+        })
+        np.savez_compressed(path, **payload)
+    else:
+        np.savez_compressed(
+            path, **{f: np.asarray(getattr(data, f)) for f in _FIELDS}
+        )
 
 
-def load_complex_npz(path: str) -> ComplexData:
+def load_complex_npz(path: str):
     with np.load(path) as z:
-        return ComplexData(**{f: z[f] for f in _FIELDS})
+        base = ComplexData(**{f: z[f] for f in _FIELDS})
+        if f"aa__{_AA_FIELDS[0]}" in z.files:
+            return AAComplexData(
+                base=base, **{f: z[f"aa__{f}"] for f in _AA_FIELDS}
+            )
+        return base
 
 
 @dataclasses.dataclass
@@ -46,6 +65,10 @@ class ComplexSpec:
 class DatasetConfig:
     cache_dir: str = "data/cache_tpu"
     c_alpha_max_neighbors: int = 10
+    # featurize receptor heavy atoms too (AAComplexData) for the all-atom
+    # confidence model (reference --all_atoms, utils/parsing.py)
+    all_atoms: bool = False
+    atom_max_neighbors: int = 8
     remove_hs: bool = True
     max_lig_size: Optional[int] = None
     max_receptor_size: Optional[int] = 3000  # reference hard cap
@@ -108,17 +131,26 @@ class ComplexDataset:
             lm = np.load(spec.lm_embedding_path)
             if hasattr(lm, "files"):
                 lm = lm[lm.files[0]]
-        data, heavy = build_complex_data(
-            mol, protein, lm,
-            c_alpha_max_neighbors=self.cfg.c_alpha_max_neighbors,
-            remove_hs=self.cfg.remove_hs,
-        )
-        if self.cfg.max_lig_size and data.n_lig > self.cfg.max_lig_size:
-            raise ValueError(f"ligand too large: {data.n_lig}")
-        if data.n_lig < max(self.cfg.min_ligand_size, 2):
-            raise ValueError(f"ligand too small: {data.n_lig}")
-        if self.cfg.max_receptor_size and data.n_rec > self.cfg.max_receptor_size:
-            raise ValueError(f"receptor too large: {data.n_rec}")
+        if self.cfg.all_atoms:
+            data, heavy = build_aa_complex_data(
+                mol, protein, lm,
+                c_alpha_max_neighbors=self.cfg.c_alpha_max_neighbors,
+                atom_max_neighbors=self.cfg.atom_max_neighbors,
+                remove_hs=self.cfg.remove_hs,
+            )
+        else:
+            data, heavy = build_complex_data(
+                mol, protein, lm,
+                c_alpha_max_neighbors=self.cfg.c_alpha_max_neighbors,
+                remove_hs=self.cfg.remove_hs,
+            )
+        base = data.base if isinstance(data, AAComplexData) else data
+        if self.cfg.max_lig_size and base.n_lig > self.cfg.max_lig_size:
+            raise ValueError(f"ligand too large: {base.n_lig}")
+        if base.n_lig < max(self.cfg.min_ligand_size, 2):
+            raise ValueError(f"ligand too small: {base.n_lig}")
+        if self.cfg.max_receptor_size and base.n_rec > self.cfg.max_receptor_size:
+            raise ValueError(f"receptor too large: {base.n_rec}")
         save_complex_npz(str(self._path(spec.name)), data)
 
     # -- access --------------------------------------------------------

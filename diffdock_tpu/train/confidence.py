@@ -63,14 +63,23 @@ def generate_poses_for_complex(
     result = pipeline.dock_complex(
         data, num_poses=samples, seed=seed, aa_data=aa_data
     )
-    ref = np.asarray(data.lig_pos) + np.asarray(data.original_center)
-    n = data.n_lig
-    poses = result.poses[:, :n]
+    # label RMSD over REAL atoms only (the input may be padded; padding rows
+    # ride along with the rigid moves and would contaminate labels)
+    n = int(np.asarray(data.lig_mask).sum())
+    ref = (np.asarray(data.lig_pos) + np.asarray(data.original_center))[:n]
+    poses_real = result.poses[:, :n]
     if elements is not None and bonds is not None:
         perms = molecular_automorphisms(elements, bonds)
-        rmsds = symmetry_rmsd(ref, poses, elements, bonds, perms=perms)
+        rmsds = symmetry_rmsd(ref, poses_real, elements, bonds, perms=perms)
     else:
-        rmsds = np.sqrt(np.mean(np.sum((poses - ref) ** 2, axis=-1), axis=-1))
+        rmsds = np.sqrt(
+            np.mean(np.sum((poses_real - ref) ** 2, axis=-1), axis=-1)
+        )
+    # return poses at the input's (possibly padded) width for training
+    poses = np.zeros(
+        (poses_real.shape[0],) + np.asarray(data.lig_pos).shape, np.float32
+    )
+    poses[:, :n] = poses_real
     return poses, np.asarray(rmsds)
 
 

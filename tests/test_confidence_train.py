@@ -29,6 +29,7 @@ def test_label_modes():
     [],
     ["--rmsd_classification_cutoff", "2.0", "5.0"],
     ["--rmsd_prediction"],
+    ["--all_atoms"],
 ])
 def test_confidence_train_cli_synthetic(tmp_path, extra):
     from diffdock_tpu.cli.confidence_train import main
