@@ -191,6 +191,10 @@ def build_knn_neighbors(
     mask = np.isfinite(dist)
     if max_radius is not None:
         mask &= dist <= max_radius
+        # never isolate a node: keep its nearest neighbor even beyond the
+        # cutoff (reference process_mols.py:184-188 fallback)
+        if n > 1:
+            mask[:, 0] |= ~mask.any(axis=1)
     return idx.astype(np.int32), mask
 
 

@@ -65,6 +65,9 @@ class ComplexSpec:
 class DatasetConfig:
     cache_dir: str = "data/cache_tpu"
     c_alpha_max_neighbors: int = 10
+    # radius cap on the receptor kNN graph (None = knn-only, the DiffDock-L
+    # default; the reference's radius mode uses 30 A / 15 A)
+    receptor_radius: Optional[float] = None
     # featurize receptor heavy atoms too (AAComplexData) for the all-atom
     # confidence model (reference --all_atoms, utils/parsing.py)
     all_atoms: bool = False
@@ -137,12 +140,14 @@ class ComplexDataset:
                 c_alpha_max_neighbors=self.cfg.c_alpha_max_neighbors,
                 atom_max_neighbors=self.cfg.atom_max_neighbors,
                 remove_hs=self.cfg.remove_hs,
+                receptor_radius=self.cfg.receptor_radius,
             )
         else:
             data, heavy = build_complex_data(
                 mol, protein, lm,
                 c_alpha_max_neighbors=self.cfg.c_alpha_max_neighbors,
                 remove_hs=self.cfg.remove_hs,
+                receptor_radius=self.cfg.receptor_radius,
             )
         base = data.base if isinstance(data, AAComplexData) else data
         if self.cfg.max_lig_size and base.n_lig > self.cfg.max_lig_size:

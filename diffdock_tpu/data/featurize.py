@@ -223,11 +223,14 @@ def build_ligand_arrays(mol, remove_hs: bool = True):
 
 
 def build_receptor_arrays(
-    protein, lm_embeddings=None, c_alpha_max_neighbors: int = 10
+    protein, lm_embeddings=None, c_alpha_max_neighbors: int = 10,
+    receptor_radius=None,
 ):
     """Receptor-side featurization: residue categoricals, centered CA
-    coords, precomputed kNN lists, chain ids (for chain-cutoff cropping,
-    reference ``datasets/moad.py:204-248``), and the centering offset."""
+    coords, precomputed kNN lists (optionally radius-capped with the
+    reference's keep-nearest fallback, ``process_mols.py:170-190``), chain
+    ids (for chain-cutoff cropping, reference ``datasets/moad.py:204-248``),
+    and the centering offset."""
     import numpy as np
 
     from diffdock_tpu.data.complexes import build_knn_neighbors
@@ -241,7 +244,9 @@ def build_receptor_arrays(
          for r in residues],
         np.int32,
     )
-    rec_nbr, rec_nbr_mask = build_knn_neighbors(rec_pos, c_alpha_max_neighbors)
+    rec_nbr, rec_nbr_mask = build_knn_neighbors(
+        rec_pos, c_alpha_max_neighbors, max_radius=receptor_radius
+    )
 
     if lm_embeddings is None:
         rec_lm = np.zeros((len(residues), 0), np.float32)
@@ -301,6 +306,7 @@ def build_complex_data(
     lm_embeddings=None,
     c_alpha_max_neighbors: int = 10,
     remove_hs: bool = True,
+    receptor_radius=None,
 ):
     """Assemble a ``ComplexData`` from a ligand Molecule and a
     ProteinStructure (the host-side replacement for the reference's
@@ -311,7 +317,8 @@ def build_complex_data(
     """
     lig, mol = build_ligand_arrays(mol, remove_hs=remove_hs)
     rec = build_receptor_arrays(
-        protein, lm_embeddings, c_alpha_max_neighbors=c_alpha_max_neighbors
+        protein, lm_embeddings, c_alpha_max_neighbors=c_alpha_max_neighbors,
+        receptor_radius=receptor_radius,
     )
     return join_complex_arrays(lig, rec), mol
 
@@ -334,6 +341,7 @@ def build_aa_complex_data(
     atom_max_neighbors: int = 8,
     remove_hs: bool = True,
     max_atoms_per_residue: int = 14,
+    receptor_radius=None,
 ):
     """Assemble an all-atom complex (ligand + residues + receptor heavy
     atoms) for the AA model (reference atom featurization
@@ -347,6 +355,7 @@ def build_aa_complex_data(
     base, heavy = build_complex_data(
         mol, protein, lm_embeddings,
         c_alpha_max_neighbors=c_alpha_max_neighbors, remove_hs=remove_hs,
+        receptor_radius=receptor_radius,
     )
     center = np.asarray(base.original_center)
 

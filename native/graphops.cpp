@@ -53,7 +53,11 @@ void knn_graph(const float* pos, int n, int k, float max_radius,
       const int kk = std::min<int>(k, (int)cand.size());
       std::partial_sort(cand.begin(), cand.begin() + kk, cand.end());
       for (int s = 0; s < k; ++s) {
-        if (s < kk && cand[s].first <= max_r2) {
+        // never isolate a node: the nearest neighbor survives the radius
+        // cap (reference process_mols.py:184-188 fallback)
+        const bool keep =
+            s < kk && (cand[s].first <= max_r2 || s == 0);
+        if (keep) {
           out_idx[(size_t)i * k + s] = cand[s].second;
           out_mask[(size_t)i * k + s] = 1;
         } else {
@@ -93,7 +97,11 @@ void knn_cross(const float* query, int nq, const float* ref, int nr, int k,
       const int kk = std::min<int>(k, (int)cand.size());
       std::partial_sort(cand.begin(), cand.begin() + kk, cand.end());
       for (int s = 0; s < k; ++s) {
-        if (s < kk && cand[s].first <= max_r2) {
+        // never isolate a node: the nearest neighbor survives the radius
+        // cap (reference process_mols.py:184-188 fallback)
+        const bool keep =
+            s < kk && (cand[s].first <= max_r2 || s == 0);
+        if (keep) {
           out_idx[(size_t)i * k + s] = cand[s].second;
           out_mask[(size_t)i * k + s] = 1;
         } else {

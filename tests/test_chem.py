@@ -108,3 +108,27 @@ def test_build_complex_from_example():
         assert data.mask_rotate[b, data.rot_v[b]]
     # kNN neighbor lists valid
     assert data.rec_nbr.max() < data.rec_pos.shape[0]
+
+
+def test_radius_capped_receptor_graph():
+    """receptor_radius caps neighbors but never isolates a residue
+    (reference process_mols.py:170-190)."""
+    import numpy as np
+
+    from diffdock_tpu.data.chem import read_pdb_file
+    from diffdock_tpu.data.featurize import build_receptor_arrays
+
+    protein = read_pdb_file("/root/reference/examples/6w70.pdb")
+    loose = build_receptor_arrays(protein, c_alpha_max_neighbors=10)
+    tight = build_receptor_arrays(
+        protein, c_alpha_max_neighbors=10, receptor_radius=8.0
+    )
+    assert tight["rec_nbr_mask"].sum() < loose["rec_nbr_mask"].sum()
+    # no residue isolated
+    assert tight["rec_nbr_mask"].any(axis=1).all()
+    # surviving edges really are within the cutoff (beyond the first
+    # keep-nearest column)
+    pos = tight["rec_pos"]
+    d = np.linalg.norm(pos[:, None] - pos[tight["rec_nbr"]], axis=-1)
+    capped = d[tight["rec_nbr_mask"]]
+    assert np.percentile(capped, 99) <= 8.0 + 1e-4

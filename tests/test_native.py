@@ -33,8 +33,13 @@ def test_knn_radius_cap():
     d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
     for i in range(100):
         for s in range(10):
-            if mask[i, s]:
+            if mask[i, s] and s > 0:
                 assert d[i, idx[i, s]] <= 10.0 + 1e-4
+    # keep-nearest fallback: no node is isolated, column 0 is the nearest
+    # neighbor even beyond the cutoff (reference process_mols.py:184-188)
+    assert mask[:, 0].all()
+    np.fill_diagonal(d, np.inf)
+    np.testing.assert_array_equal(idx[:, 0], np.argmin(d, axis=1))
 
 
 def test_knn_cross():
