@@ -112,8 +112,8 @@ def main(argv=None):
         load_train_state, save_checkpoint, save_train_state,
     )
     from diffdock_tpu.train.trainer import (
-        DP_AXIS, TrainConfig, create_train_state, make_train_step,
-        training_model_config,
+        DP_AXIS, TrainConfig, create_train_state, make_eval_step,
+        make_train_step, training_model_config,
     )
     from diffdock_tpu.train.validation import PlateauScheduler, inference_epoch
 
@@ -196,6 +196,18 @@ def main(argv=None):
 
         example = ds.get(ds.names[0])
 
+        if args.split_val:
+            from diffdock_tpu.data.datasets import (
+                ComplexDataset, DatasetConfig, pdbbind_specs,
+            )
+
+            val_specs = pdbbind_specs(args.data_dir, args.split_val)
+            val_ds = ComplexDataset(
+                val_specs, DatasetConfig(cache_dir=args.cache_path)
+            )
+            val_ds.preprocess(num_workers=args.num_workers)
+            print(f"val dataset: {len(val_ds)} complexes ready")
+
     example = jax.tree.map(jnp.asarray, example)
     state = create_train_state(
         model, example, so3, torus, tc, jax.random.PRNGKey(args.seed)
@@ -235,6 +247,7 @@ def main(argv=None):
         )
     else:
         step = jax.jit(make_train_step(model, tc, so3, torus))
+    eval_step = jax.jit(make_eval_step(model, tc, so3, torus))
 
     os.makedirs(args.log_dir, exist_ok=True)
     best_loss = float("inf")
@@ -263,6 +276,20 @@ def main(argv=None):
             f"epoch {epoch}: loss {mean_loss:.4f} "
             f"({len(losses)} steps, {time.time() - t0:.1f}s)"
         )
+
+        # held-out validation loss (reference test_epoch + best-by-val-loss
+        # selection, train.py:99-127)
+        if "val_ds" in locals() and len(val_ds):
+            val_losses = []
+            vrng = jax.random.PRNGKey(args.seed + 100 + epoch)
+            for _, vbatch in val_ds.bucketed_batches(args.batch_size):
+                vbatch = jax.tree.map(jnp.asarray, vbatch)
+                vm = eval_step(state, vbatch, vrng)
+                val_losses.append(float(vm["loss"]))
+            if val_losses:
+                mean_loss = float(np.mean(val_losses))
+                print(f"  val loss {mean_loss:.4f} "
+                      f"({len(val_losses)} batches)")
 
         if plateau is not None:
             prev_scale = plateau.scale

@@ -107,6 +107,46 @@ def create_train_state(
     )
 
 
+def make_eval_step(
+    model: CGScoreModel,
+    train_cfg: TrainConfig,
+    so3: SO3Tables,
+    torus: TorusTables,
+) -> Callable:
+    """Validation loss over a stacked batch: same noising + loss as training
+    but eval-mode (running BN stats, no dropout, no gradients) — the
+    reference's ``test_epoch`` (``utils/training.py:157-214``)."""
+    sigma_cfg = model.cfg.sigma
+
+    def eval_step(state: TrainState, batch: ComplexData, rng: jax.Array):
+        batch_size = batch.lig_cat.shape[0]
+        noise_keys = jax.random.split(rng, batch_size)
+
+        def one(data, nkey):
+            sample = apply_noise(
+                nkey, data, sigma_cfg, so3, torus,
+                alpha=train_cfg.sampling_alpha,
+                beta=train_cfg.sampling_beta,
+                no_torsion=model.cfg.no_torsion,
+            )
+            out = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                data, sample.pos, sample.t, so3, torus, train=False,
+            )
+            return per_complex_losses(
+                out, sample, data.rot_mask, sigma_cfg, so3, torus
+            )
+
+        parts = jax.vmap(one)(batch, noise_keys)
+        _, metrics = total_loss(
+            parts, train_cfg.tr_weight, train_cfg.rot_weight,
+            train_cfg.tor_weight,
+        )
+        return metrics
+
+    return eval_step
+
+
 def make_train_step(
     model: CGScoreModel,
     train_cfg: TrainConfig,

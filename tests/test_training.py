@@ -256,3 +256,46 @@ def test_train_cli_pretrain_and_fallback(tmp_path):
         "--n_epochs", "1", "--log_dir", str(run3),
         "--pretrain_dir", str(run1),
     ]) == 0
+
+
+def test_eval_step_and_val_loss(setup, tmp_path):
+    so3, torus, cfg, model, datas = setup
+    from diffdock_tpu.train.trainer import make_eval_step
+
+    tc = TrainConfig()
+    state = create_train_state(model, datas[0], so3, torus, tc,
+                               jax.random.PRNGKey(0))
+    ev = jax.jit(make_eval_step(model, tc, so3, torus))
+    m = ev(state, _stack(datas), jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    # deterministic given the rng (no dropout in eval)
+    m2 = ev(state, _stack(datas), jax.random.PRNGKey(1))
+    assert float(m["loss"]) == float(m2["loss"])
+
+
+def test_train_cli_with_val_split(tmp_path):
+    import shutil
+
+    root = tmp_path / "pdbbind" / "6w70"
+    root.mkdir(parents=True)
+    shutil.copy("/root/reference/examples/6w70.pdb",
+                root / "6w70_protein_processed.pdb")
+    shutil.copy("/root/reference/examples/6w70_ligand.sdf",
+                root / "6w70_ligand.sdf")
+    (tmp_path / "train.txt").write_text("6w70\n")
+    (tmp_path / "val.txt").write_text("6w70\n")
+
+    from diffdock_tpu.cli.train import main
+
+    rc = main([
+        "--data_dir", str(tmp_path / "pdbbind"),
+        "--split_train", str(tmp_path / "train.txt"),
+        "--split_val", str(tmp_path / "val.txt"),
+        "--cache_path", str(tmp_path / "cache"),
+        "--n_epochs", "1", "--batch_size", "2",
+        "--log_dir", str(tmp_path / "run"),
+        "--model_preset", "diffdock_s", "--ns", "8", "--nv", "2",
+        "--num_conv_layers", "2", "--num_prot_emb_layers", "0",
+    ])
+    assert rc == 0
+    assert (tmp_path / "run" / "best_ema_model.msgpack").exists()
