@@ -119,6 +119,30 @@ def convert_esm_extract_dir(
     return out
 
 
+class LazyNpyTable:
+    """Dict-like ``{name: (R, 1280) array}`` backed by per-name ``.npy``
+    files (the output of :func:`convert_esm_extract_dir`); loads lazily so
+    datasets with thousands of receptors don't hold every embedding in RAM."""
+
+    def __init__(self, directory: str):
+        self.directory = Path(directory)
+
+    def __contains__(self, name: str) -> bool:
+        return (self.directory / f"{name}.npy").exists()
+
+    def get(self, name: str, default=None):
+        path = self.directory / f"{name}.npy"
+        if not path.exists():
+            return default
+        return np.load(path)
+
+    def __getitem__(self, name: str) -> np.ndarray:
+        out = self.get(name)
+        if out is None:
+            raise KeyError(name)
+        return out
+
+
 class ESM2Embedder:
     """Live ESM2 embeddings via HuggingFace ``transformers``.
 

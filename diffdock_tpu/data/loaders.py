@@ -142,7 +142,12 @@ def build_train_source(args):
             chain_cutoff=args.chain_cutoff,
             unroll_clusters=args.unroll_clusters,
         ))
-        ds.preprocess()
+        esm_table = None
+        if args.esm_embeddings_dir:
+            from diffdock_tpu.data.esm import LazyNpyTable
+
+            esm_table = LazyNpyTable(args.esm_embeddings_dir)
+        ds.preprocess(esm_table=esm_table)
         return EpochIteratorSource(ds)
 
     def pdbsidechain():

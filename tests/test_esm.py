@@ -56,3 +56,45 @@ def test_convert_esm_extract_dir(tmp_path):
     np.testing.assert_array_equal(emb, np.concatenate(expected, axis=0))
     # row count matches the featurizer's residue set
     assert emb.shape[0] == len(protein.residues_with_ca())
+
+
+def test_lazy_npy_table(tmp_path):
+    from diffdock_tpu.data.esm import LazyNpyTable
+
+    arr = np.random.RandomState(0).randn(5, 8).astype(np.float32)
+    np.save(tmp_path / "6w70_1.npy", arr)
+    t = LazyNpyTable(str(tmp_path))
+    assert "6w70_1" in t and "nope" not in t
+    np.testing.assert_array_equal(t["6w70_1"], arr)
+    assert t.get("nope") is None
+
+
+def test_moad_preprocess_with_esm_table(tmp_path):
+    import shutil
+
+    from diffdock_tpu.data.chem import read_molecule_file, read_pdb_file, write_pdb_ligand
+    from diffdock_tpu.data.esm import LazyNpyTable
+    from diffdock_tpu.data.moad import MOADConfig, MOADDataset
+
+    moad = tmp_path / "moad"
+    (moad / "pdb_protein").mkdir(parents=True)
+    (moad / "pdb_superligand").mkdir()
+    shutil.copy("/root/reference/examples/6w70.pdb",
+                moad / "pdb_protein" / "6w70_1_protein.pdb")
+    mol = read_molecule_file(
+        "/root/reference/examples/6w70_ligand.sdf").remove_hs()
+    (moad / "pdb_superligand" / "6w70_1_A_0.pdb").write_text(
+        write_pdb_ligand(mol))
+
+    protein = read_pdb_file(str(moad / "pdb_protein" / "6w70_1_protein.pdb"))
+    n_res = len(protein.residues_with_ca())
+    emb_dir = tmp_path / "esm"
+    emb_dir.mkdir()
+    np.save(emb_dir / "6w70_1.npy",
+            np.random.RandomState(0).randn(n_res, 16).astype(np.float32))
+
+    ds = MOADDataset(MOADConfig(moad_dir=str(moad),
+                                cache_dir=str(tmp_path / "c")))
+    ds.preprocess(esm_table=LazyNpyTable(str(emb_dir)), verbose=False)
+    data = ds.get_by_name("6w70_1_A_0")
+    assert data.rec_lm.shape == (n_res, 16)
