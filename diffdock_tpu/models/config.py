@@ -63,6 +63,11 @@ class ScoreModelConfig:
     affinity_prediction: bool = False
     parallel_aggregators: Tuple[str, ...] = ("mean", "max", "min", "std")
 
+    # per-ligand-atom confidence outputs alongside the pose confidence
+    # (reference atom_confidence, aa_model.py:188-199,438-446)
+    atom_confidence: bool = False
+    atom_num_confidence_outputs: int = 1
+
     # grouped conv FCs per edge type (reference differentiate_convolutions)
     differentiate_convolutions: bool = True
 

@@ -193,6 +193,16 @@ class CGScoreModel(nn.Module):
         self.final_ladder = self._ladder(npe + n_joint)
         if cfg.confidence_mode:
             self.confidence_layers = self._build_confidence_mlp()
+            if cfg.atom_confidence:
+                # per-atom head emitting atom confidences + replacement
+                # scalars (reference aa_model.py:188-199)
+                self.atom_confidence_layers = ConfidenceMLP(
+                    ns=cfg.ns,
+                    out_dim=cfg.atom_num_confidence_outputs + cfg.ns,
+                    dropout=cfg.confidence_dropout,
+                    no_batchnorm=cfg.confidence_no_batchnorm,
+                    name="atom_confidence_predictor",
+                )
             if cfg.affinity_prediction:
                 self.affinity_layers = ConfidenceMLP(
                     ns=cfg.ns, out_dim=1,
@@ -657,6 +667,11 @@ class CGScoreModel(nn.Module):
             )
         else:
             scalar = lig_node_attr[:, :ns]
+        atom_conf = None
+        if cfg.atom_confidence:
+            z = self.atom_confidence_layers(scalar, train=train)
+            atom_conf = z[:, : cfg.atom_num_confidence_outputs]
+            scalar = z[:, cfg.atom_num_confidence_outputs :]
         w = data.lig_mask[:, None].astype(scalar.dtype)
         pooled = (scalar * w).sum(0) / jnp.maximum(w.sum(), 1.0)
         out = self.confidence_layers(pooled[None], train=train)[0]
@@ -669,6 +684,10 @@ class CGScoreModel(nn.Module):
                 ),
                 train=False,
             )
+        if cfg.atom_confidence:
+            # (pose confidence vector, per-atom confidences) like the
+            # reference's (confidence, atom_confidence) tuple
+            return out, atom_conf
         return out
 
     def predict_affinity(self, pose_feats, train: bool = False):

@@ -171,3 +171,26 @@ def test_smooth_edges_changes_outputs(setup):
         lambda v, d: model.apply(v, d, d.lig_pos, jnp.asarray(0.5), so3, torus)
     )(p, data)
     assert np.abs(np.asarray(out_s.tr) - np.asarray(out_h.tr)).max() > 1e-6
+
+
+def test_atom_confidence_head(setup):
+    """atom_confidence yields per-ligand-atom outputs alongside the pose
+    confidence (reference aa_model.py:188-199,438-446)."""
+    import dataclasses
+
+    cfg, model, data, so3, torus, params = setup
+    ccfg = dataclasses.replace(
+        cfg, confidence_mode=True, atom_confidence=True,
+        atom_num_confidence_outputs=1,
+    )
+    cmodel = CGScoreModel(ccfg)
+    v = jax.jit(cmodel.init)(
+        jax.random.PRNGKey(0), data, data.lig_pos, jnp.asarray(0.0), so3, torus
+    )
+    out, atom_conf = jax.jit(
+        lambda vv, d: cmodel.apply(vv, d, d.lig_pos, jnp.asarray(0.0),
+                                   so3, torus)
+    )(v, data)
+    assert out.shape == (1,)
+    assert atom_conf.shape == (data.lig_pos.shape[0], 1)
+    assert np.isfinite(np.asarray(atom_conf)).all()
