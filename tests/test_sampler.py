@@ -113,3 +113,42 @@ def test_sampler_deterministic_given_key(setup):
         so3, torus,
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_nan_guard_recovers_trajectory(setup):
+    """NaN/Inf scores mid-trajectory must not poison the poses (reference
+    utils/sampling.py:118-131 epsilon-disturbance guard)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffdock_tpu.inference.sampler import (
+        SamplerConfig, _nan_guard, reverse_diffusion,
+    )
+    from diffdock_tpu.models.score_model import ScoreOutput
+
+    cfg, model, data, so3, torus, params = setup
+
+    # unit: guard replaces non-finite entries with small finite values
+    x = jnp.asarray([1.0, jnp.nan, jnp.inf, -jnp.inf, -2.0])
+    g = np.asarray(_nan_guard(x))
+    assert np.isfinite(g).all()
+    np.testing.assert_allclose(g[[0, 4]], [1.0, -2.0])
+
+    # end-to-end: a score_fn emitting NaNs every step still yields finite poses
+    P = 2
+
+    def bad_score_fn(poses, t):
+        return ScoreOutput(
+            tr=jnp.full((P, 3), jnp.nan),
+            rot=jnp.full((P, 3), jnp.inf),
+            tor=jnp.full((P, data.rot_u.shape[0]), jnp.nan),
+        )
+
+    init = jnp.broadcast_to(data.lig_pos, (P,) + data.lig_pos.shape)
+    final = reverse_diffusion(
+        jax.random.PRNGKey(0), bad_score_fn, data, init,
+        SamplerConfig(inference_steps=3, actual_steps=3),
+        cfg.sigma, so3, torus,
+    )
+    assert np.isfinite(np.asarray(final)).all()
