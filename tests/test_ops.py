@@ -267,3 +267,37 @@ def _cross_sign_flip_close(mid_ours, mid_ref, *_args):
     # allow the (1,1,1) coupling to differ by a global sign: recompute ref
     # with flipped cross terms is equivalent to comparing abs on those parts.
     return np.allclose(np.abs(mid_ours), np.abs(mid_ref), atol=2e-3)
+
+
+def test_irreps_linear_equivariance_and_type_isolation():
+    """IrrepsLinear (o3.Linear equivalent): SO(3)-equivariant, mixes only
+    matching irrep types, zeros unreachable outputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffdock_tpu.ops.linear import IrrepsLinear
+
+    ir_in = Irreps("4x0e + 3x1o + 2x1o")
+    ir_out = Irreps("2x0e + 5x1o + 1x2e")  # 2e unreachable from the input
+    lin = IrrepsLinear(irreps_in=str(ir_in), irreps_out=str(ir_out))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(6, ir_in.dim), jnp.float32)
+    params = lin.init(jax.random.PRNGKey(0), x)
+    y = lin.apply(params, x)
+    assert y.shape == (6, ir_out.dim)
+
+    # unreachable 2e output is exactly zero
+    sl_out = ir_out.slices()
+    np.testing.assert_array_equal(np.asarray(y[..., sl_out[2]]), 0.0)
+
+    # equivariance: rotating input irreps rotates the output the same way
+    from scipy.spatial.transform import Rotation as R
+
+    rot = R.from_rotvec([0.3, -0.7, 0.5]).as_matrix()
+    x_r = jnp.asarray(_rotate_features(np.asarray(x), ir_in, rot))
+    y_r = lin.apply(params, x_r)
+    np.testing.assert_allclose(
+        np.asarray(y_r),
+        _rotate_features(np.asarray(y), ir_out, rot),
+        rtol=2e-4, atol=2e-4,
+    )
