@@ -207,6 +207,68 @@ class FullyConnectedTensorProduct:
         return jnp.concatenate(outs, axis=-1)
 
 
+class DepthwiseTensorProduct:
+    """'uvu' depthwise TP (reference depthwise conv variant,
+    ``models/tensor_layers.py:248-292``): each input channel couples with
+    the edge harmonics independently (one weight per channel per path, no
+    cross-channel mixing — that happens in a following
+    :class:`diffdock_tpu.ops.linear.IrrepsLinear`).
+
+    ``irreps_out`` filters which output irrep TYPES are kept; the actual
+    output layout is ``irreps_mid`` (multiplicities preserved from in1,
+    sorted by output irrep like e3nn's ``irreps_mid.sort()``).
+    """
+
+    def __init__(self, irreps_in1, irreps_in2, irreps_out):
+        self.irreps_in1 = Irreps(irreps_in1)
+        self.irreps_in2 = Irreps(irreps_in2)
+        keep = {(e.ir.l, e.ir.p) for e in Irreps(irreps_out)}
+        self._sl1 = self.irreps_in1.slices()
+        self._sl2 = self.irreps_in2.slices()
+
+        paths = []  # (i, j, ir3, cg)
+        for i, e1 in enumerate(self.irreps_in1):
+            for j, e2 in enumerate(self.irreps_in2):
+                for ir3 in e1.ir * e2.ir:
+                    if (ir3.l, ir3.p) in keep:
+                        cg = real_wigner_3j(e1.ir.l, e2.ir.l, ir3.l)
+                        cg = cg * math.sqrt(ir3.dim)
+                        paths.append((i, j, ir3, cg.astype(np.float32)))
+        # e3nn sorts irreps_mid by output irrep; keep a stable sort so the
+        # weight layout is reproducible
+        order = sorted(range(len(paths)),
+                       key=lambda k: (paths[k][2].l, paths[k][2].p, k))
+        self.paths = [paths[k] for k in order]
+        self.irreps_mid = Irreps(
+            [MulIrrep(self.irreps_in1[i].mul, ir3)
+             for i, _, ir3, _ in self.paths]
+        )
+        self.weight_numel = sum(self.irreps_in1[i].mul
+                                for i, _, _, _ in self.paths)
+
+    def __call__(
+        self, x1: jnp.ndarray, x2: jnp.ndarray, weights: jnp.ndarray
+    ) -> jnp.ndarray:
+        """x1 (..., dim_in1), x2 (..., dim_in2), weights
+        (..., weight_numel) -> (..., irreps_mid.dim)."""
+        outs = []
+        off = 0
+        for i, j, ir3, cg in self.paths:
+            e1 = self.irreps_in1[i]
+            a = _reshape_entry(x1, self.irreps_in1, i, self._sl1[i])
+            b = _reshape_entry(x2, self.irreps_in2, j, self._sl2[j])
+            seg = jnp.einsum(
+                "...ui,...vj,ijk->...uk", a, b,
+                jnp.asarray(cg, dtype=x1.dtype),
+            )  # 'uvu': v has mul 1 for sh inputs
+            w = weights[..., off : off + e1.mul]
+            off += e1.mul
+            seg = seg * w[..., None]
+            outs.append(seg.reshape(seg.shape[:-2] + (e1.mul * ir3.dim,)))
+        assert off == self.weight_numel
+        return jnp.concatenate(outs, axis=-1)
+
+
 class FullTensorProduct:
     """Unweighted full TP: every coupling, multiplicities multiply.
 

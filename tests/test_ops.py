@@ -301,3 +301,47 @@ def test_irreps_linear_equivariance_and_type_isolation():
         _rotate_features(np.asarray(y), ir_out, rot),
         rtol=2e-4, atol=2e-4,
     )
+
+
+def test_depthwise_tp_equivariance_and_linear_composition():
+    """DepthwiseTensorProduct ('uvu') + IrrepsLinear = the reference's
+    depthwise conv compute (tensor_layers.py:248-292): equivariant, with
+    one weight per channel per path."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation as R
+
+    from diffdock_tpu.ops.linear import IrrepsLinear
+    from diffdock_tpu.ops.tensor_product import DepthwiseTensorProduct
+
+    in1 = Irreps("4x0e + 3x1o")
+    sh = Irreps("1x0e + 1x1o + 1x2e")
+    out = Irreps("5x0e + 2x1o")
+    dtp = DepthwiseTensorProduct(str(in1), str(sh), str(out))
+    # uvu: one weight per in1 channel per allowed path
+    assert dtp.weight_numel == sum(
+        in1[i].mul for i, _, _, _ in dtp.paths
+    )
+    for e in dtp.irreps_mid:
+        assert (e.ir.l, e.ir.p) in {(0, 1), (1, -1)}
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(6, in1.dim), jnp.float32)
+    s = jnp.asarray(rng.randn(6, sh.dim), jnp.float32)
+    w = jnp.asarray(rng.randn(6, dtp.weight_numel), jnp.float32)
+    mid = dtp(x, s, w)
+    assert mid.shape == (6, dtp.irreps_mid.dim)
+
+    lin = IrrepsLinear(irreps_in=str(dtp.irreps_mid), irreps_out=str(out))
+    params = lin.init(jax.random.PRNGKey(0), mid)
+    y = lin.apply(params, mid)
+    assert y.shape == (6, out.dim)
+
+    rot = R.from_rotvec([0.4, 0.2, -0.9]).as_matrix()
+    x_r = jnp.asarray(_rotate_features(np.asarray(x), in1, rot))
+    s_r = jnp.asarray(_rotate_features(np.asarray(s), sh, rot))
+    y_r = lin.apply(params, dtp(x_r, s_r, w))
+    np.testing.assert_allclose(
+        np.asarray(y_r), _rotate_features(np.asarray(y), out, rot),
+        rtol=3e-4, atol=3e-4,
+    )
