@@ -88,8 +88,13 @@ class DockingPipeline:
 
         def run(key, data: ComplexData, aa_data):
             k_init, k_diff = jax.random.split(key)
-            cache = self.score_model.apply(
-                self.score_params, data, method="embed_receptor"
+            # v1.0 architectures embed sigma through the node encoders, so
+            # there is no time-independent receptor embedding to cache
+            cache = (
+                None if self.score_cfg.old_architecture
+                else self.score_model.apply(
+                    self.score_params, data, method="embed_receptor"
+                )
             )
 
             init = randomize_position(
@@ -120,8 +125,13 @@ class DockingPipeline:
             affinity = jnp.zeros(())
             if self.confidence_model is not None:
                 conf_data = aa_data if with_aa else data
-                conf_cache = self.confidence_model.apply(
-                    self.confidence_params, conf_data, method="embed_receptor"
+                ccfg = self.confidence_cfg
+                conf_cache = (
+                    None if ccfg.old_architecture
+                    else self.confidence_model.apply(
+                        self.confidence_params, conf_data,
+                        method="embed_receptor",
+                    )
                 )
                 out = jax.vmap(
                     lambda p: self.confidence_model.apply(
@@ -130,13 +140,17 @@ class DockingPipeline:
                     )
                 )(final)
                 conf = jnp.nan_to_num(out[..., 0], nan=-1000.0)
-                ccfg = self.confidence_cfg
                 if ccfg.affinity_prediction:
-                    feats = out[..., ccfg.num_confidence_outputs :]
-                    affinity = self.confidence_model.apply(
-                        self.confidence_params, feats,
-                        method="predict_affinity",
-                    )
+                    if ccfg.old_architecture:
+                        # old layout: one extra output column per pose
+                        # (old_aa_model.py:125 output_confidence_dim + 1)
+                        affinity = jnp.mean(out[..., -1])
+                    else:
+                        feats = out[..., ccfg.num_confidence_outputs :]
+                        affinity = self.confidence_model.apply(
+                            self.confidence_params, feats,
+                            method="predict_affinity",
+                        )
             else:
                 conf = jnp.zeros((num_poses,))
             return final, conf, affinity, traj

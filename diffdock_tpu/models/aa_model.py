@@ -122,8 +122,11 @@ class AAScoreModel(CGScoreModel):
             self.rec_distance_expansion(ardist), train=train
         )
         ar_edge_sh = spherical_harmonics(arvec, cfg.sh_lmax)  # atom recv: vec to residue
-        # residue <- member atoms (reverse direction)
-        ravec = data.atom_pos[data.res_atom_idx] - base.rec_pos[:, None, :]
+        # residue <- member atoms: the reference reuses the UNFLIPPED
+        # atom->rec SH for the reversed direction (aa_model.py:306 ar_edge_sh
+        # appears twice), i.e. SH(rec - atom) even though the sender is the
+        # atom — reproduced for weight parity
+        ravec = base.rec_pos[:, None, :] - data.atom_pos[data.res_atom_idx]
         ra_edge_sh = spherical_harmonics(ravec, cfg.sh_lmax)
 
         for layer in self.rec_emb_layers:
@@ -248,7 +251,9 @@ class AAScoreModel(CGScoreModel):
             ), train=train,
         )
         lr_sh = spherical_harmonics(lrvec, cfg.sh_lmax)
-        rl_sh = spherical_harmonics(-jnp.swapaxes(lrvec, 0, 1), cfg.sh_lmax)
+        # rec<-lig reuses the UNFLIPPED lig<-rec SH (reference
+        # aa_model.py:412 passes lr_edge_sh for the flipped edge set)
+        rl_sh = spherical_harmonics(jnp.swapaxes(lrvec, 0, 1), cfg.sh_lmax)
 
         lavec, ladist = _pairwise(data.atom_pos, lig_pos)
         lamask = (
@@ -264,7 +269,9 @@ class AAScoreModel(CGScoreModel):
             ), train=train,
         )
         la_sh = spherical_harmonics(lavec, cfg.sh_lmax)
-        al_sh = spherical_harmonics(-jnp.swapaxes(lavec, 0, 1), cfg.sh_lmax)
+        # atom<-lig likewise reuses the unflipped lig<-atom SH
+        # (aa_model.py:413)
+        al_sh = spherical_harmonics(jnp.swapaxes(lavec, 0, 1), cfg.sh_lmax)
 
         rec_idx_all = jnp.broadcast_to(jnp.arange(nr)[None, :], (nl, nr))
         atom_idx_all = jnp.broadcast_to(jnp.arange(na)[None, :], (nl, na))

@@ -71,6 +71,16 @@ class ScoreModelConfig:
     # grouped conv FCs per edge type (reference differentiate_convolutions)
     differentiate_convolutions: bool = True
 
+    # v1.0 (ICLR'23) architecture family: separate conv stacks per edge type,
+    # sigma embedded through the node encoders, no protein-embedding layers
+    # (reference models/old_cg_model.py, old_aa_model.py). The shipped
+    # default confidence model is the OLD all-atom architecture
+    # (inference.py:84 --old_confidence_model default True).
+    old_architecture: bool = False
+    # additive scalar encoder of the v1.0 family (utils/utils.py:218
+    # defaults use_old_atom_encoder=True for old checkpoints)
+    use_old_atom_encoder: bool = True
+
     # vmap/shard_map axis names over which batch-norm statistics aggregate
     # during training (set by the trainer; empty for inference)
     bn_axis_names: Tuple[str, ...] = ()

@@ -72,6 +72,55 @@ class GaussianSmearing(nn.Module):
         return jnp.exp(coeff * d * d)
 
 
+class OldAtomEncoder(nn.Module):
+    """The v1.0 encoder (reference ``models/layers.py:70-116``): categorical
+    embeddings and a linear map of the scalar features are SUMMED (the new
+    encoder concatenates and fuses); a language-model embedding, if present,
+    is concatenated afterwards and fused by ``lm_embedding_layer``. Used by
+    the released old-architecture checkpoints (``use_old_atom_encoder``
+    defaults to True, ``utils/utils.py:218``).
+
+    ``x_tail`` is the full non-categorical tail of the reference node array
+    IN REFERENCE ORDER — ``(lm_embedding, sigma_emb)`` for receptors with
+    ESM, ``(sigma_emb,)`` otherwise (the old models build
+    ``x = cat(preprocessed_x, node_sigma_emb)``, ``old_cg_model.py:381``,
+    with lm already inside ``preprocessed_x``, ``process_mols.py:199``).
+    The reference slices scalars as ``x_tail[:scalar_dim]`` and the LM block
+    as ``x_tail[-lm_dim:]`` — with ESM these OVERLAP (the 'scalar' block is
+    the first 32 LM dims; the 'lm' block is lm[32:] + sigma). The released
+    weights were trained with that overlap, so it is reproduced verbatim.
+    """
+
+    emb_dim: int
+    categorical_dims: Tuple[int, ...]
+    scalar_dim: int = 0  # feature_dims[1] + sigma_embed_dim
+    lm_dim: int = 0  # 1280 for ESM
+
+    @nn.compact
+    def __call__(
+        self, x_cat: jnp.ndarray, x_tail: jnp.ndarray = None
+    ) -> jnp.ndarray:
+        emb = 0.0
+        for i, dim in enumerate(self.categorical_dims):
+            table = nn.Embed(
+                dim, self.emb_dim,
+                embedding_init=nn.initializers.xavier_uniform(),
+                name=f"cat_{i}",
+            )
+            emb = emb + table(x_cat[..., i])
+        if self.scalar_dim > 0:
+            assert x_tail is not None
+            assert x_tail.shape[-1] == self.scalar_dim + self.lm_dim
+            emb = emb + nn.Dense(self.emb_dim, name="linear")(
+                x_tail[..., : self.scalar_dim]
+            )
+        if self.lm_dim > 0:
+            emb = nn.Dense(self.emb_dim, name="lm_embedding_layer")(
+                jnp.concatenate([emb, x_tail[..., -self.lm_dim :]], axis=-1)
+            )
+        return emb
+
+
 class AtomEncoder(nn.Module):
     """Sum of categorical embeddings + linear fuse of extra scalar features
     (reference ``models/layers.py:33-68``, the 'new' encoder).
