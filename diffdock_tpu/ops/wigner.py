@@ -3,11 +3,12 @@
 The reference gets its Clebsch-Gordan machinery from e3nn; here we derive it:
 
 1. complex-basis Wigner 3j via the Racah formula (exact with log-factorials
-   for the small l <= 4 this model needs),
-2. change of basis to real spherical harmonics (m ordered -l..l, so l=1 maps
-   to (y, z, x), matching our closed-form SH in ``ops/spherical.py``),
-3. the transformed tensor is purely real when l1+l2+l3 is even and purely
-   imaginary when odd; take the nonvanishing part (fixed global phase).
+   for the small l <= 4 this model needs), converted to Clebsch-Gordan,
+2. change of basis to real spherical harmonics with e3nn's exact phase
+   convention (the (-i)^l factor of ``change_basis_real_to_complex`` makes
+   the transformed tensor purely real AND fixes every per-path sign to
+   e3nn's) — m ordered -l..l, so l=1 maps to (y, z, x), matching our
+   closed-form SH in ``ops/spherical.py``.
 
 The result is normalized like e3nn's ``o3.wigner_3j``: the invariant tensor
 has unit Frobenius norm per (l1, l2, l3). Tensor-product layers multiply by
@@ -74,68 +75,60 @@ def _wigner_3j_m(l1: int, l2: int, l3: int, m1: int, m2: int, m3: int) -> float:
 
 
 @functools.lru_cache(maxsize=None)
-def _complex_w3j(l1: int, l2: int, l3: int) -> np.ndarray:
+def _complex_cg(l1: int, l2: int, l3: int) -> np.ndarray:
+    """Clebsch-Gordan <l1 m1 l2 m2 | l3 m3> (Condon-Shortley) from the 3j
+    symbols: CG = (-1)^(l1-l2+m3) * sqrt(2*l3+1) * w3j(m1, m2, -m3)."""
     out = np.zeros((2 * l1 + 1, 2 * l2 + 1, 2 * l3 + 1))
     for m1 in range(-l1, l1 + 1):
         for m2 in range(-l2, l2 + 1):
-            m3 = -m1 - m2
+            m3 = m1 + m2
             if abs(m3) <= l3:
-                out[m1 + l1, m2 + l2, m3 + l3] = _wigner_3j_m(l1, l2, l3, m1, m2, m3)
+                out[m1 + l1, m2 + l2, m3 + l3] = (
+                    (-1.0) ** (l1 - l2 + m3)
+                    * math.sqrt(2 * l3 + 1)
+                    * _wigner_3j_m(l1, l2, l3, m1, m2, -m3)
+                )
     return out
 
 
 @functools.lru_cache(maxsize=None)
-def _real_from_complex(l: int) -> np.ndarray:
-    """U with Y_real[a] = sum_b U[a, b] Y_complex[b]; rows ordered m=-l..l.
-
-    Complex SH use the Condon-Shortley convention. Real SH definition:
-      m > 0:  (1/sqrt2) (Y_{l,-m} + (-1)^m Y_{l,m})
-      m = 0:  Y_{l,0}
-      m < 0:  (i/sqrt2) (Y_{l,m} - (-1)^m Y_{l,-m})
+def _q_real_to_complex(l: int) -> np.ndarray:
+    """e3nn's change-of-basis: columns real m (-l..l), rows complex m, with
+    the (-i)^l phase that makes the transformed CG purely real. Mirrors
+    e3nn ``o3._wigner.change_basis_real_to_complex`` so the SIGN of every
+    real 3j tensor matches e3nn's exactly — a per-path sign mismatch would
+    silently corrupt imported e3nn-trained weights.
     """
-    u = np.zeros((2 * l + 1, 2 * l + 1), dtype=complex)
-    for m in range(-l, l + 1):
-        a = m + l
-        if m > 0:
-            u[a, -m + l] = 1 / math.sqrt(2)
-            u[a, m + l] = (-1) ** m / math.sqrt(2)
-        elif m == 0:
-            u[a, l] = 1.0
-        else:
-            u[a, m + l] = 1j / math.sqrt(2)
-            u[a, -m + l] = -1j * (-1) ** m / math.sqrt(2)
-    return u
+    q = np.zeros((2 * l + 1, 2 * l + 1), dtype=complex)
+    for m in range(-l, 0):
+        q[l + m, l + abs(m)] = 1 / math.sqrt(2)
+        q[l + m, l - abs(m)] = -1j / math.sqrt(2)
+    q[l, l] = 1.0
+    for m in range(1, l + 1):
+        q[l + m, l + abs(m)] = (-1) ** m / math.sqrt(2)
+        q[l + m, l - abs(m)] = 1j * (-1) ** m / math.sqrt(2)
+    return (-1j) ** l * q
 
 
 @functools.lru_cache(maxsize=None)
 def real_wigner_3j(l1: int, l2: int, l3: int) -> np.ndarray:
-    """Real-basis invariant 3-tensor, unit Frobenius norm, float64.
+    """Real-basis invariant 3-tensor, unit Frobenius norm, float64,
+    sign-matched to e3nn's ``o3.wigner_3j`` (validated against sympy
+    Clebsch-Gordan + Gaunt integrals of the e3nn real spherical harmonics
+    in ``tests/test_e3nn_parity.py``).
 
     Zero tensor if the coupling is forbidden by the triangle rule.
     """
     if not (abs(l1 - l2) <= l3 <= l1 + l2):
         return np.zeros((2 * l1 + 1, 2 * l2 + 1, 2 * l3 + 1))
-    c = _complex_w3j(l1, l2, l3).astype(complex)
-    u1 = _real_from_complex(l1)
-    u2 = _real_from_complex(l2)
-    u3 = _real_from_complex(l3)
-    # transform each complex index to the real basis (conjugate transform:
-    # Y_c = U^H Y_r since U is unitary)
-    t = np.einsum("abc,ia,jb,kc->ijk", c, u1.conj(), u2.conj(), u3.conj())
-    re, im = np.real(t), np.imag(t)
-    if np.abs(re).max() >= np.abs(im).max():
-        assert np.abs(im).max() < 1e-10, (l1, l2, l3, np.abs(im).max())
-        out = re
-    else:
-        assert np.abs(re).max() < 1e-10, (l1, l2, l3, np.abs(re).max())
-        out = im
-    # normalize Frobenius norm to 1 (matches e3nn's wigner_3j scaling) and fix
-    # a deterministic global sign: first nonzero entry positive.
+    cg = _complex_cg(l1, l2, l3).astype(complex)
+    q1 = _q_real_to_complex(l1)
+    q2 = _q_real_to_complex(l2)
+    q3 = _q_real_to_complex(l3)
+    t = np.einsum("ia,jb,kc,ijk->abc", q1.conj(), q2.conj(), q3, cg)
+    assert np.abs(t.imag).max() < 1e-10, (l1, l2, l3, np.abs(t.imag).max())
+    out = t.real
     norm = np.linalg.norm(out)
     if norm > 0:
         out = out / norm
-        flat = out.reshape(-1)
-        first = flat[np.argmax(np.abs(flat) > 1e-12)]
-        if first < 0:
-            out = -out
     return out

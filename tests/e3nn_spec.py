@@ -1,0 +1,264 @@
+"""Independent from-spec implementation of the e3nn semantics the reference
+models rely on (o3.FullyConnectedTensorProduct with shared_weights=False,
+o3.spherical_harmonics, nn.BatchNorm), used as the numerical ground truth to
+sign off the checkpoint converters in ``diffdock_tpu/utils/torch_import.py``.
+
+INDEPENDENCE: the Clebsch-Gordan source is sympy's ``physics.quantum.cg``
+(not our ``ops/wigner.py`` Racah implementation), the real-basis transform
+follows e3nn's public ``o3._wigner.change_basis_real_to_complex`` (including
+the (-i)^l phase that fixes every sign), the spherical harmonics are the
+closed forms documented by e3nn, and the forward/layout bookkeeping below is
+written straight from the e3nn source conventions: instructions enumerated
+in1-major (for i1, for i2, for i_out), flat weights as concatenated
+(mul1, mul2, mul_out) row-major blocks, 'component' irrep normalization
+(CG scaled by sqrt(2*l_out+1)), 'element' path normalization (each output's
+paths divided by sqrt(total fan-in)).
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# irreps bookkeeping (tiny independent parser)
+# ---------------------------------------------------------------------------
+def parse_irreps(s):
+    """'4x0e + 2x1o' -> [(4, 0, 1), (2, 1, -1)] as (mul, l, parity)."""
+    out = []
+    for term in s.split("+"):
+        term = term.strip()
+        m = re.fullmatch(r"(?:(\d+)x)?(\d+)([eo])", term)
+        assert m, term
+        mul = int(m.group(1) or 1)
+        out.append((mul, int(m.group(2)), 1 if m.group(3) == "e" else -1))
+    return out
+
+
+def irreps_dim(entries):
+    return sum(mul * (2 * l + 1) for mul, l, _ in entries)
+
+
+def slices(entries):
+    out, off = [], 0
+    for mul, l, _ in entries:
+        d = mul * (2 * l + 1)
+        out.append(slice(off, off + d))
+        off += d
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Wigner 3j in e3nn's real basis, from sympy
+# ---------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def su2_cg(l1, l2, l3):
+    from sympy import S
+    from sympy.physics.quantum.cg import CG
+
+    out = np.zeros((2 * l1 + 1, 2 * l2 + 1, 2 * l3 + 1))
+    for m1 in range(-l1, l1 + 1):
+        for m2 in range(-l2, l2 + 1):
+            m3 = m1 + m2
+            if abs(m3) > l3:
+                continue
+            out[m1 + l1, m2 + l2, m3 + l3] = float(
+                CG(S(l1), S(m1), S(l2), S(m2), S(l3), S(m3)).doit()
+            )
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def change_basis_real_to_complex(l):
+    q = np.zeros((2 * l + 1, 2 * l + 1), complex)
+    for m in range(-l, 0):
+        q[l + m, l + abs(m)] = 1 / np.sqrt(2)
+        q[l + m, l - abs(m)] = -1j / np.sqrt(2)
+    q[l, l] = 1
+    for m in range(1, l + 1):
+        q[l + m, l + abs(m)] = (-1) ** m / np.sqrt(2)
+        q[l + m, l - abs(m)] = 1j * (-1) ** m / np.sqrt(2)
+    return (-1j) ** l * q
+
+
+@functools.lru_cache(maxsize=None)
+def e3nn_wigner_3j(l1, l2, l3):
+    """Unit-Frobenius real 3j tensor with e3nn's sign convention."""
+    if not (abs(l1 - l2) <= l3 <= l1 + l2):
+        return np.zeros((2 * l1 + 1, 2 * l2 + 1, 2 * l3 + 1))
+    C = su2_cg(l1, l2, l3).astype(complex)
+    Q1 = change_basis_real_to_complex(l1)
+    Q2 = change_basis_real_to_complex(l2)
+    Q3 = change_basis_real_to_complex(l3)
+    R = np.einsum("ia,jb,kc,ijk->abc", np.conj(Q1), np.conj(Q2), Q3, C)
+    assert np.abs(R.imag).max() < 1e-10, (l1, l2, l3)
+    R = R.real
+    n = np.linalg.norm(R)
+    return R / n if n > 0 else R
+
+
+# ---------------------------------------------------------------------------
+# e3nn spherical harmonics (normalize=True, normalization='component'),
+# closed forms for l <= 2 as documented by e3nn; l=1 basis order is (y, z, x)
+# ---------------------------------------------------------------------------
+def e3nn_spherical_harmonics(vec, lmax):
+    v = np.asarray(vec, np.float64)
+    n = np.linalg.norm(v, axis=-1, keepdims=True)
+    v = v / np.where(n > 0, n, 1.0)
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    parts = [np.ones(v.shape[:-1] + (1,))]
+    if lmax >= 1:
+        parts.append(np.sqrt(3) * np.stack([y, z, x], -1))
+    if lmax >= 2:
+        parts.append(
+            np.stack(
+                [
+                    np.sqrt(15) * x * y,
+                    np.sqrt(15) * y * z,
+                    np.sqrt(5) / 2 * (3 * z * z - 1),
+                    np.sqrt(15) * x * z,
+                    np.sqrt(15) / 2 * (x * x - y * y),
+                ],
+                -1,
+            )
+        )
+    assert lmax <= 2, "spec implements closed forms up to l=2"
+    return np.concatenate(parts, -1)
+
+
+# ---------------------------------------------------------------------------
+# o3.FullyConnectedTensorProduct, shared_weights=False
+# ---------------------------------------------------------------------------
+class SpecFCTP:
+    def __init__(self, in1, in2, out):
+        self.in1 = parse_irreps(in1)
+        self.in2 = parse_irreps(in2)
+        self.out = parse_irreps(out)
+        self.sl1, self.sl2, self.slo = slices(self.in1), slices(self.in2), slices(self.out)
+
+        def allowed(a, b, c):
+            (m1, l1, p1), (m2, l2, p2), (m3, l3, p3) = a, b, c
+            return abs(l1 - l2) <= l3 <= l1 + l2 and p1 * p2 == p3
+
+        # e3nn instruction order: in1-major, then in2, then out
+        self.instructions = [
+            (i, j, k)
+            for i, e1 in enumerate(self.in1)
+            for j, e2 in enumerate(self.in2)
+            for k, e3 in enumerate(self.out)
+            if allowed(e1, e2, e3)
+        ]
+        # 'element' path normalization: total fan-in per output entry
+        self.fan = {
+            k: sum(
+                self.in1[i][0] * self.in2[j][0]
+                for i, j, kk in self.instructions
+                if kk == k
+            )
+            for k in range(len(self.out))
+        }
+        self.weight_numel = sum(
+            self.in1[i][0] * self.in2[j][0] * self.out[k][0]
+            for i, j, k in self.instructions
+        )
+
+    def __call__(self, x1, x2, w):
+        x1 = np.asarray(x1, np.float64)
+        x2 = np.asarray(x2, np.float64)
+        w = np.asarray(w, np.float64)
+        lead = np.broadcast_shapes(x1.shape[:-1], x2.shape[:-1], w.shape[:-1])
+        out = np.zeros(lead + (irreps_dim(self.out),))
+        off = 0
+        for i, j, k in self.instructions:
+            m1, l1, _ = self.in1[i]
+            m2, l2, _ = self.in2[j]
+            m3, l3, _ = self.out[k]
+            nw = m1 * m2 * m3
+            wk = w[..., off : off + nw].reshape(w.shape[:-1] + (m1, m2, m3))
+            off += nw
+            a = x1[..., self.sl1[i]].reshape(x1.shape[:-1] + (m1, 2 * l1 + 1))
+            b = x2[..., self.sl2[j]].reshape(x2.shape[:-1] + (m2, 2 * l2 + 1))
+            cg = e3nn_wigner_3j(l1, l2, l3) * np.sqrt(2 * l3 + 1)
+            seg = np.einsum("...ua,...vb,abc,...uvw->...wc", a, b, cg, wk)
+            seg = seg / np.sqrt(self.fan[k])
+            out[..., self.slo[k]] += seg.reshape(lead + (m3 * (2 * l3 + 1),))
+        assert off == self.weight_numel
+        return out
+
+
+# ---------------------------------------------------------------------------
+# e3nn nn.BatchNorm, eval mode ('component' normalization, affine)
+# ---------------------------------------------------------------------------
+def spec_batch_norm_eval(x, irreps, weight, bias, running_mean, running_var,
+                         eps=1e-5):
+    entries = parse_irreps(irreps)
+    x = np.asarray(x, np.float64)
+    out = np.zeros_like(x)
+    i_mean = i_feat = 0
+    for (mul, l, p), sl in zip(entries, slices(entries)):
+        field = x[..., sl].reshape(x.shape[:-1] + (mul, 2 * l + 1))
+        if l == 0 and p == 1:
+            field = field - running_mean[i_mean : i_mean + mul][:, None]
+        scale = (running_var[i_feat : i_feat + mul] + eps) ** (-0.5)
+        scale = scale * weight[i_feat : i_feat + mul]
+        field = field * scale[:, None]
+        if l == 0 and p == 1:
+            field = field + bias[i_mean : i_mean + mul][:, None]
+            i_mean += mul
+        i_feat += mul
+        out[..., sl] = field.reshape(x.shape[:-1] + (mul * (2 * l + 1),))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# reference layer-level spec: OldTensorProductConvLayer forward (eval),
+# tensor_layers.py:338-380 with residual=False
+# ---------------------------------------------------------------------------
+def spec_old_conv_forward(in_irreps, sh_irreps, out_irreps, sd, node_attr,
+                          edge_src, edge_dst, edge_attr, edge_sh,
+                          out_nodes, batch_norm=True):
+    """sd: reference state dict fragment {fc.0.weight, fc.0.bias,
+    fc.3.weight, fc.3.bias, batch_norm.*}. Returns (out_nodes, out_dim)."""
+    tp = SpecFCTP(in_irreps, sh_irreps, out_irreps)
+    h = np.maximum(edge_attr @ np.asarray(sd["fc.0.weight"]).T
+                   + np.asarray(sd["fc.0.bias"]), 0.0)
+    w = h @ np.asarray(sd["fc.3.weight"]).T + np.asarray(sd["fc.3.bias"])
+    msg = tp(node_attr[edge_dst], edge_sh, w)
+    out = np.zeros((out_nodes, msg.shape[-1]))
+    cnt = np.zeros(out_nodes)
+    np.add.at(out, edge_src, msg)
+    np.add.at(cnt, edge_src, 1.0)
+    out = out / np.maximum(cnt[:, None], 1e-30)
+    if batch_norm:
+        out = spec_batch_norm_eval(
+            out, out_irreps,
+            np.asarray(sd["batch_norm.weight"]),
+            np.asarray(sd["batch_norm.bias"]),
+            np.asarray(sd["batch_norm.running_mean"]),
+            np.asarray(sd["batch_norm.running_var"]),
+        )
+    return out
+
+
+def spec_old_atom_encoder(sd, x_cat, x_tail, scalar_dim, lm_dim):
+    """models/layers.py:70-116 forward, including the ESM overlap slicing."""
+    emb = 0.0
+    i = 0
+    while f"atom_embedding_list.{i}.weight" in sd:
+        table = np.asarray(sd[f"atom_embedding_list.{i}.weight"])
+        emb = emb + table[np.asarray(x_cat)[..., i]]
+        i += 1
+    if scalar_dim > 0:
+        emb = emb + (
+            np.asarray(x_tail)[..., :scalar_dim] @ np.asarray(sd["linear.weight"]).T
+            + np.asarray(sd["linear.bias"])
+        )
+    if lm_dim > 0:
+        cat = np.concatenate([emb, np.asarray(x_tail)[..., -lm_dim:]], -1)
+        emb = cat @ np.asarray(sd["lm_embedding_layer.weight"]).T + np.asarray(
+            sd["lm_embedding_layer.bias"]
+        )
+    return emb
