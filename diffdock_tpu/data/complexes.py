@@ -163,6 +163,98 @@ def pad_to(data: ComplexData, nl: int, nr: int, nb: int) -> ComplexData:
     )
 
 
+def apply_rec_keep(data: ComplexData, keep) -> ComplexData:
+    """Mask-based receptor crop (the TPU realization of the reference's
+    ``crop_beyond``, ``utils/utils.py:388-413``): the reference FILTERS the
+    precomputed receptor edges (PyG ``subgraph``) rather than rebuilding
+    them, so dropping residues == zeroing their validity masks. jit-safe
+    (works on jnp or numpy arrays); ``keep`` is a (NR,) bool mask."""
+    xp = jnp if isinstance(data.rec_mask, jnp.ndarray) else np
+    keep = xp.asarray(keep)
+    return data._replace(
+        rec_mask=data.rec_mask & keep,
+        rec_nbr_mask=data.rec_nbr_mask & keep[:, None] & keep[data.rec_nbr],
+    )
+
+
+def apply_rec_keep_aa(aa: AAComplexData, keep) -> AAComplexData:
+    """All-atom crop: atoms follow their parent residue
+    (reference ``crop_beyond`` all_atoms branch, ``utils/utils.py:394-400``)."""
+    base = apply_rec_keep(aa.base, keep)
+    xp = jnp if isinstance(aa.atom_mask, jnp.ndarray) else np
+    keep = xp.asarray(keep)
+    atom_keep = aa.atom_mask & keep[aa.atom_res]
+    return aa._replace(
+        base=base,
+        atom_mask=atom_keep,
+        atom_nbr_mask=aa.atom_nbr_mask
+        & atom_keep[:, None]
+        & atom_keep[aa.atom_nbr],
+        res_atom_mask=aa.res_atom_mask & keep[:, None],
+    )
+
+
+def rec_keep_mask(rec_pos, rec_mask, poses, lig_mask, cutoff):
+    """keep[r] = any ligand atom of any pose within ``cutoff`` of residue r
+    (reference crop predicate, utils/utils.py:391). ``poses``: (..., NL, 3)."""
+    xp = jnp if isinstance(rec_pos, jnp.ndarray) else np
+    poses = xp.asarray(poses)
+    flat = poses.reshape(-1, poses.shape[-1])  # (P*NL, 3)
+    lmask = xp.broadcast_to(lig_mask, poses.shape[:-1]).reshape(-1)
+    d2 = ((flat[:, None, :] - rec_pos[None, :, :]) ** 2).sum(-1)
+    within = (d2 < cutoff**2) & lmask[:, None]
+    return within.any(axis=0) & rec_mask
+
+
+def crop_complex(data: ComplexData, keep: np.ndarray) -> ComplexData:
+    """HOST-side shrink: physically drop receptor rows (pre-padding), so a
+    3000-residue receptor occupies a small bucket. Neighbor lists are
+    FILTERED and remapped, matching the reference's subgraph semantics.
+    Complements :func:`apply_rec_keep` (which handles the per-step
+    sigma-dependent crop inside jit)."""
+    keep = np.asarray(keep, bool)
+    remap = np.cumsum(keep) - 1  # old idx -> new idx (valid where keep)
+    nbr = np.asarray(data.rec_nbr)
+    nbr_mask = np.asarray(data.rec_nbr_mask) & keep[nbr]
+    new_nbr = remap[nbr]
+    new_nbr[~nbr_mask] = 0
+    return data._replace(
+        rec_cat=np.asarray(data.rec_cat)[keep],
+        rec_lm=np.asarray(data.rec_lm)[keep],
+        rec_mask=np.asarray(data.rec_mask)[keep],
+        rec_pos=np.asarray(data.rec_pos)[keep],
+        rec_nbr=new_nbr[keep].astype(np.int32),
+        rec_nbr_mask=nbr_mask[keep],
+    )
+
+
+def crop_aa_complex(aa: AAComplexData, keep: np.ndarray) -> AAComplexData:
+    keep = np.asarray(keep, bool)
+    base = crop_complex(aa.base, keep)
+    remap = np.cumsum(keep) - 1
+    atom_keep = np.asarray(aa.atom_mask) & keep[np.asarray(aa.atom_res)]
+    atom_remap = np.cumsum(atom_keep) - 1
+    anbr = np.asarray(aa.atom_nbr)
+    anbr_mask = np.asarray(aa.atom_nbr_mask) & atom_keep[anbr]
+    new_anbr = atom_remap[anbr]
+    new_anbr[~anbr_mask] = 0
+    res_atom_idx = np.asarray(aa.res_atom_idx)
+    res_atom_mask = np.asarray(aa.res_atom_mask) & atom_keep[res_atom_idx]
+    new_rai = atom_remap[res_atom_idx]
+    new_rai[~res_atom_mask] = 0
+    return aa._replace(
+        base=base,
+        atom_cat=np.asarray(aa.atom_cat)[atom_keep],
+        atom_mask=np.asarray(aa.atom_mask)[atom_keep],
+        atom_pos=np.asarray(aa.atom_pos)[atom_keep],
+        atom_nbr=new_anbr[atom_keep].astype(np.int32),
+        atom_nbr_mask=anbr_mask[atom_keep],
+        atom_res=remap[np.asarray(aa.atom_res)[atom_keep]].astype(np.int32),
+        res_atom_idx=new_rai[keep].astype(np.int32),
+        res_atom_mask=res_atom_mask[keep],
+    )
+
+
 def build_knn_neighbors(
     pos: np.ndarray, k: int, max_radius: Optional[float] = None
 ) -> Tuple[np.ndarray, np.ndarray]:

@@ -23,9 +23,13 @@ from diffdock_tpu.data.complexes import (
     AAComplexData,
     ComplexData,
     bucket_sizes,
+    crop_aa_complex,
+    crop_complex,
     pad_aa_to,
     pad_to,
+    rec_keep_mask,
 )
+from diffdock_tpu.diffusion.schedules import t_to_sigma
 from diffdock_tpu.data.featurize import build_aa_complex_data, build_complex_data
 from diffdock_tpu.diffusion.so3 import SO3Tables, get_so3_tables
 from diffdock_tpu.diffusion.torus import TorusTables, get_torus_tables
@@ -63,8 +67,23 @@ class DockingPipeline:
         confidence_params=None,
         so3_tables: Optional[SO3Tables] = None,
         torus_tables: Optional[TorusTables] = None,
+        pre_crop_radius: Optional[float] = None,
     ):
+        """``pre_crop_radius``: host-side receptor shrink before padding —
+        drops residues farther than this from any input-ligand atom so large
+        receptors land in small buckets (memory/compile win; the per-step
+        sigma-dependent crop_beyond masking stays exact inside jit). When
+        None and the score config sets crop_beyond, a conservative radius
+        covering every reachable per-step crop is derived automatically."""
         assert not score_cfg.all_atoms, "score model is coarse-grained"
+        if pre_crop_radius is None and score_cfg.crop_beyond is not None:
+            pre_crop_radius = (
+                3.0 * score_cfg.sigma.tr_sigma_max
+                * max(sampler_cfg.initial_noise_std_proportion, 1.0)
+                + score_cfg.crop_beyond
+                + 10.0
+            )
+        self.pre_crop_radius = pre_crop_radius
         self.score_cfg = score_cfg
         self.score_model = build_model(score_cfg)
         self.score_params = score_params
@@ -88,10 +107,13 @@ class DockingPipeline:
 
         def run(key, data: ComplexData, aa_data):
             k_init, k_diff = jax.random.split(key)
-            # v1.0 architectures embed sigma through the node encoders, so
-            # there is no time-independent receptor embedding to cache
+            scfg = self.score_cfg
+            # v1.0 architectures embed sigma through the node encoders, and
+            # crop_beyond requires re-embedding the cropped receptor per
+            # step — no time-independent cache in either case
             cache = (
-                None if self.score_cfg.old_architecture
+                None
+                if scfg.old_architecture or scfg.crop_beyond is not None
                 else self.score_model.apply(
                     self.score_params, data, method="embed_receptor"
                 )
@@ -105,10 +127,19 @@ class DockingPipeline:
             )
 
             def score_fn(poses, t):
+                kw = {}
+                if scfg.crop_beyond is not None:
+                    # reference sampling.py:104-109: crop at 3*tr_sigma +
+                    # crop_beyond, unioned over the pose batch
+                    tr_sigma, _, _ = t_to_sigma(t, t, t, scfg.sigma)
+                    kw["rec_keep"] = rec_keep_mask(
+                        data.rec_pos, data.rec_mask, poses, data.lig_mask,
+                        3.0 * tr_sigma + scfg.crop_beyond,
+                    )
                 return jax.vmap(
                     lambda p: self.score_model.apply(
                         self.score_params, data, p, t, self.so3, self.torus,
-                        rec_cache=cache,
+                        rec_cache=cache, **kw,
                     )
                 )(poses)
 
@@ -126,8 +157,17 @@ class DockingPipeline:
             if self.confidence_model is not None:
                 conf_data = aa_data if with_aa else data
                 ccfg = self.confidence_cfg
+                conf_kw = {}
+                if ccfg.crop_beyond is not None:
+                    # reference sampling.py:213-216: plain crop_beyond (no
+                    # sigma term), unioned over the final pose batch
+                    conf_kw["rec_keep"] = rec_keep_mask(
+                        data.rec_pos, data.rec_mask, final, data.lig_mask,
+                        ccfg.crop_beyond,
+                    )
                 conf_cache = (
-                    None if ccfg.old_architecture
+                    None
+                    if ccfg.old_architecture or ccfg.crop_beyond is not None
                     else self.confidence_model.apply(
                         self.confidence_params, conf_data,
                         method="embed_receptor",
@@ -136,7 +176,7 @@ class DockingPipeline:
                 out = jax.vmap(
                     lambda p: self.confidence_model.apply(
                         self.confidence_params, conf_data, p, jnp.asarray(0.0),
-                        self.so3, self.torus, rec_cache=conf_cache,
+                        self.so3, self.torus, rec_cache=conf_cache, **conf_kw,
                     )
                 )(final)
                 conf = jnp.nan_to_num(out[..., 0], nan=-1000.0)
@@ -175,6 +215,20 @@ class DockingPipeline:
         aa_data: Optional[AAComplexData] = None,
         return_trajectory: bool = False,
     ) -> DockingResult:
+        if self.pre_crop_radius is not None:
+            keep = np.asarray(
+                rec_keep_mask(
+                    np.asarray(data.rec_pos), np.asarray(data.rec_mask),
+                    np.asarray(data.lig_pos)[None], np.asarray(data.lig_mask),
+                    self.pre_crop_radius,
+                )
+            )
+            if not keep.all():
+                data = crop_complex(jax.tree.map(np.asarray, data), keep)
+                if aa_data is not None:
+                    aa_data = crop_aa_complex(
+                        jax.tree.map(np.asarray, aa_data), keep
+                    )._replace(base=data)
         nl, nr, nb = bucket_sizes(data.n_lig, data.n_rec, data.n_bonds)
         n_real = data.n_lig
         padded = jax.tree.map(jnp.asarray, pad_to(data, nl, nr, nb))

@@ -206,9 +206,14 @@ class AAScoreModel(CGScoreModel):
         torus_tables,
         rec_cache: Optional[AARecCache] = None,
         train: bool = False,
+        rec_keep=None,
     ):
         cfg = self.cfg
         ns = cfg.ns
+        if rec_keep is not None:
+            from diffdock_tpu.data.complexes import apply_rec_keep_aa
+
+            data = apply_rec_keep_aa(data, rec_keep)
         base = data.base
         nl, nr, na = lig_pos.shape[0], base.rec_pos.shape[0], data.atom_pos.shape[0]
         t = jnp.asarray(t, jnp.float32)

@@ -31,6 +31,15 @@ class ScoreModelConfig:
     dynamic_max_cross: bool = False
     center_max_distance: float = 30.0
 
+    # sigma-dependent receptor crop (reference crop_beyond,
+    # utils/utils.py:388-413; sampling.py:104-109 crops at 3*tr_sigma +
+    # crop_beyond for the score model, plain crop_beyond for the confidence
+    # model). TPU-native realization: the reference FILTERS existing edges
+    # (PyG subgraph) rather than rebuilding them, so cropping is exactly a
+    # receptor validity mask — computed per step inside jit (see
+    # ``rec_keep`` in the model __call__ and the sampler/pipeline wiring).
+    crop_beyond: Optional[float] = None
+
     # embeddings
     in_lig_edge_features: int = 4
     sigma_embed_dim: int = 32

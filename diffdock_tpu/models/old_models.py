@@ -225,9 +225,14 @@ class OldCGScoreModel(CGScoreModel):
         torus_tables,
         rec_cache=None,  # signature-compatible; old arch has no cache
         train: bool = False,
+        rec_keep=None,
     ):
         cfg = self.cfg
         ns = cfg.ns
+        if rec_keep is not None:
+            from diffdock_tpu.data.complexes import apply_rec_keep
+
+            data = apply_rec_keep(data, rec_keep)
         nl, nr = lig_pos.shape[0], data.rec_pos.shape[0]
         t = jnp.asarray(t, jnp.float32)
         if cfg.confidence_mode:
@@ -378,9 +383,14 @@ class OldAAScoreModel(OldCGScoreModel):
         torus_tables,
         rec_cache=None,
         train: bool = False,
+        rec_keep=None,
     ):
         cfg = self.cfg
         ns = cfg.ns
+        if rec_keep is not None:
+            from diffdock_tpu.data.complexes import apply_rec_keep_aa
+
+            data = apply_rec_keep_aa(data, rec_keep)
         base = data.base
         nl, nr, na = lig_pos.shape[0], base.rec_pos.shape[0], data.atom_pos.shape[0]
         t = jnp.asarray(t, jnp.float32)

@@ -421,11 +421,19 @@ class CGScoreModel(nn.Module):
         torus_tables: TorusTables,
         rec_cache: Optional[RecCache] = None,
         train: bool = False,
+        rec_keep: Optional[jnp.ndarray] = None,
     ):
         cfg = self.cfg
         ns = cfg.ns
         nl, nr = lig_pos.shape[0], data.rec_pos.shape[0]
         t = jnp.asarray(t, jnp.float32)
+        if rec_keep is not None:
+            # sigma-dependent receptor crop (reference crop_beyond); the
+            # receptor embedding must be recomputed under the crop, so
+            # callers pass rec_cache=None alongside rec_keep
+            from diffdock_tpu.data.complexes import apply_rec_keep
+
+            data = apply_rec_keep(data, rec_keep)
 
         if cfg.confidence_mode:
             tr_sigma = rot_sigma = tor_sigma = t

@@ -178,11 +178,27 @@ def make_train_step(
                     beta=train_cfg.sampling_beta,
                     no_torsion=model.cfg.no_torsion,
                 )
+                kw = {}
+                if model.cfg.crop_beyond is not None:
+                    # reference trains with per-sample sigma-dependent crops
+                    # (datasets/pdbbind.py:112-114); realized here as an
+                    # in-jit receptor mask at 3*tr_sigma + crop_beyond
+                    from diffdock_tpu.data.complexes import rec_keep_mask
+                    from diffdock_tpu.diffusion.schedules import t_to_sigma
+
+                    tr_sigma, _, _ = t_to_sigma(
+                        sample.t, sample.t, sample.t, sigma_cfg
+                    )
+                    kw["rec_keep"] = rec_keep_mask(
+                        data.rec_pos, data.rec_mask, sample.pos[None],
+                        data.lig_mask,
+                        3.0 * tr_sigma + model.cfg.crop_beyond,
+                    )
                 out, mutated = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     data, sample.pos, sample.t, so3, torus,
                     train=True, mutable=["batch_stats"],
-                    rngs={"dropout": dkey},
+                    rngs={"dropout": dkey}, **kw,
                 )
                 parts = per_complex_losses(
                     out, sample, data.rot_mask, sigma_cfg, so3, torus

@@ -545,6 +545,106 @@ def convert_state_dict(state_dict: Dict[str, Any], cfg):
     return fn(state_dict, cfg)
 
 
+def config_from_reference_args(
+    args: Dict[str, Any],
+    confidence_mode: bool = False,
+    old: bool = False,
+):
+    """Map a reference run's ``model_parameters.yml`` args (the argparse
+    namespace dump shipped with every released checkpoint) onto our
+    ``ScoreModelConfig``, replicating the reference factory's defaults and
+    negations (``utils/utils.py:172-281`` ``get_model``)."""
+    import dataclasses
+
+    from diffdock_tpu.diffusion.schedules import SigmaConfig
+    from diffdock_tpu.models.config import ScoreModelConfig
+
+    g = args.get
+
+    def has_esm():
+        return any(
+            g(k) is not None
+            for k in (
+                "esm_embeddings_path", "moad_esm_embeddings_path",
+                "pdbbind_esm_embeddings_path",
+                "pdbsidechain_esm_embeddings_path",
+            )
+        )
+
+    rmsd_cut = g("rmsd_classification_cutoff")
+    num_conf_outputs = (
+        len(rmsd_cut) + 1 if isinstance(rmsd_cut, list) else 1
+    )
+    atom_rmsd_cut = g("atom_rmsd_classification_cutoff")
+    sigma = SigmaConfig(
+        tr_sigma_min=g("tr_sigma_min", 0.1),
+        tr_sigma_max=g("tr_sigma_max", 30.0),
+        rot_sigma_min=g("rot_sigma_min", 0.1),
+        rot_sigma_max=g("rot_sigma_max", 1.65),
+        tor_sigma_min=g("tor_sigma_min", 0.0314),
+        tor_sigma_max=g("tor_sigma_max", 3.14),
+    )
+    cfg = ScoreModelConfig(
+        ns=g("ns", 16),
+        nv=g("nv", 4),
+        num_conv_layers=g("num_conv_layers", 2),
+        num_prot_emb_layers=0 if old else g("num_prot_emb_layers", 0) or 0,
+        sh_lmax=2 if old else g("sh_lmax", 2) or 2,
+        use_second_order_repr=bool(g("use_second_order_repr", False)),
+        reduce_pseudoscalars=(
+            False if old else bool(g("reduce_pseudoscalars", False))
+        ),
+        embed_also_ligand=(
+            False if old else bool(g("embed_also_ligand", False))
+        ),
+        lig_max_radius=g("max_radius", 5.0),
+        cross_max_distance=g("cross_max_distance", 80.0),
+        crop_beyond=g("crop_beyond"),
+        dynamic_max_cross=bool(g("dynamic_max_cross", False)),
+        in_lig_edge_features=4,
+        sigma_embed_dim=g("sigma_embed_dim", 32),
+        distance_embed_dim=g("distance_embed_dim", 32),
+        cross_distance_embed_dim=g("cross_distance_embed_dim", 32),
+        # reference get_model falls back to scale 10000 when the run
+        # predates the embedding_type arg (utils/utils.py:174-177)
+        embedding_type=g("embedding_type", "sinusoidal"),
+        embedding_scale=(
+            g("embedding_scale", 1000) if "embedding_type" in args else 10000
+        ),
+        lm_embedding_dim=1280 if has_esm() else 0,
+        batch_norm=not g("no_batch_norm", False),
+        dropout=g("dropout", 0.0),
+        tp_weights_layers=g("tp_weights_layers", 2),
+        smooth_edges=bool(g("smooth_edges", False)),
+        odd_parity=bool(g("odd_parity", False)),
+        no_torsion=bool(g("no_torsion", False)),
+        scale_by_sigma=bool(g("scale_by_sigma", True)),
+        # reference: not args.not_fixed_center_conv if present else False
+        fixed_center_conv=(
+            (not g("not_fixed_center_conv"))
+            if "not_fixed_center_conv" in args else False
+        ),
+        confidence_mode=confidence_mode,
+        confidence_dropout=g("confidence_dropout", 0.0),
+        confidence_no_batchnorm=bool(g("confidence_no_batchnorm", False)),
+        num_confidence_outputs=num_conf_outputs,
+        affinity_prediction=bool(g("affinity_prediction", False)),
+        atom_confidence=(
+            g("atom_confidence_loss_weight", 0.0) or 0.0
+        ) > 0.0,
+        atom_num_confidence_outputs=(
+            len(atom_rmsd_cut) + 1 if isinstance(atom_rmsd_cut, list) else 1
+        ),
+        differentiate_convolutions=not g("no_differentiate_convolutions", False),
+        old_architecture=old,
+        use_old_atom_encoder=bool(g("use_old_atom_encoder", True)) if old
+        else True,
+        all_atoms=bool(g("all_atoms", False)),
+        sigma=sigma,
+    )
+    return dataclasses.replace(cfg)
+
+
 def load_torch_checkpoint(path: str, cfg):
     """torch.load a reference .pt checkpoint and convert (torch CPU wheel is
     in the image; weights_only-safe load)."""
