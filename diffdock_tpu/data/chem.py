@@ -87,8 +87,23 @@ def parse_sdf(text: str) -> List[Molecule]:
     mols = []
     for record in text.split("$$$$"):
         lines = record.splitlines()
-        while lines and not lines[0].strip() and len(lines) > 4:
-            lines = lines[1:]
+        # locate the V2000 counts line explicitly — the title line of the
+        # 3-line header is legitimately blank in many SDFs (e.g. RDKit
+        # output), so stripping leading blanks would misalign the block
+        ci = next(
+            (i for i, ln in enumerate(lines[:12])
+             if ln.rstrip().endswith("V2000")),
+            None,
+        )
+        if ci is None:
+            # counts line without the V2000 tag: fall back to the fixed
+            # 3-line header after dropping record-separator blanks
+            while lines and not lines[0].strip() and len(lines) > 4:
+                lines = lines[1:]
+        elif ci >= 3:
+            lines = lines[ci - 3 :]
+        else:  # header truncated by the $$$$ split; re-pad it
+            lines = [""] * (3 - ci) + lines
         if len(lines) < 4:
             continue
         counts = lines[3]

@@ -193,6 +193,19 @@ class ESM2Embedder:
         return np.concatenate(parts, axis=0)
 
 
+def compute_esm_embeddings_if_available(
+    protein: ProteinStructure,
+) -> Optional[np.ndarray]:
+    """Live ESM2 embeddings when the weights are in the local HF cache,
+    else None (callers decide the fallback — e.g. zero embeddings with a
+    warning in scripts/parity_eval.py)."""
+    try:
+        embedder = ESM2Embedder()
+    except RuntimeError:
+        return None
+    return embedder.embed_protein(protein)
+
+
 def embeddings_for_protein(
     protein: ProteinStructure,
     table: Optional[Dict[str, np.ndarray]] = None,
