@@ -34,6 +34,10 @@ def get_parser():
     p.add_argument("--tr_weight", type=float, default=0.33)
     p.add_argument("--rot_weight", type=float, default=0.33)
     p.add_argument("--tor_weight", type=float, default=0.33)
+    # flexible-sidechain auxiliary losses (reference --backbone_loss_weight/
+    # --sidechain_loss_weight; nonzero enables the sidechain head)
+    p.add_argument("--backbone_loss_weight", type=float, default=0.0)
+    p.add_argument("--sidechain_loss_weight", type=float, default=0.0)
     p.add_argument("--num_workers", type=int, default=1)
     p.add_argument("--limit_complexes", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
@@ -122,6 +126,10 @@ def main(argv=None):
     for k in ("ns", "nv", "num_conv_layers", "num_prot_emb_layers"):
         if getattr(args, k) is not None:
             overrides[k] = getattr(args, k)
+    if args.backbone_loss_weight > 0 or args.sidechain_loss_weight > 0:
+        # reference enables the head whenever either weight is nonzero
+        # (utils/utils.py:274-275)
+        overrides["sidechain_pred"] = True
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
     cfg = training_model_config(cfg, data_parallel=args.data_parallel)
@@ -130,6 +138,8 @@ def main(argv=None):
         lr=args.lr, w_decay=args.w_decay, ema_rate=args.ema_rate,
         tr_weight=args.tr_weight, rot_weight=args.rot_weight,
         tor_weight=args.tor_weight,
+        backbone_weight=args.backbone_loss_weight,
+        sidechain_weight=args.sidechain_loss_weight,
     )
 
     so3 = get_so3_tables()

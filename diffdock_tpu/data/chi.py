@@ -76,10 +76,14 @@ def residue_chi_angles(residue) -> Tuple[np.ndarray, np.ndarray]:
 
 def side_chain_vecs(protein) -> np.ndarray:
     """(R, 4 + 3 + 3): [chi/360, N - CA, C - CA] per CA-bearing residue
-    (reference ``process_mols.py:163-165``; missing atoms contribute 0)."""
+    (reference ``process_mols.py:163-165``). Undefined chi angles are NaN —
+    the auxiliary losses zero them out exactly like the reference
+    (``utils/training.py:95-97`` where-isnan masking); missing backbone
+    atoms contribute 0."""
     rows = []
     for res in protein.residues_with_ca():
-        chi, _ = residue_chi_angles(res)
+        chi, chi_mask = residue_chi_angles(res)
+        chi = np.where(chi_mask, chi, np.nan).astype(np.float32)
         ca = np.asarray(res.ca, np.float32)
         n = res.atoms.get("N")
         c = res.atoms.get("C")

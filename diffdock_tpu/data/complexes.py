@@ -50,6 +50,13 @@ class ComplexData(NamedTuple):
     # --- bookkeeping ---
     original_center: jnp.ndarray  # (3,) f32 receptor centroid in input frame
 
+    # --- optional training targets ---
+    # (NR, 10) [chi/360 (NaN where undefined), N-CA, C-CA] per residue for
+    # the sidechain/backbone auxiliary losses (reference side_chain_vecs,
+    # process_mols.py:163-165 + utils/training.py:61-124); None when the
+    # data source does not provide it
+    rec_scv: Optional[jnp.ndarray] = None
+
     @property
     def n_lig(self) -> int:
         return self.lig_cat.shape[0]
@@ -160,6 +167,9 @@ def pad_to(data: ComplexData, nl: int, nr: int, nb: int) -> ComplexData:
         rec_nbr=pad(data.rec_nbr, nr),
         rec_nbr_mask=pad(data.rec_nbr_mask, nr, False),
         original_center=np.asarray(data.original_center),
+        rec_scv=(
+            None if data.rec_scv is None else pad(data.rec_scv, nr)
+        ),
     )
 
 
@@ -225,6 +235,9 @@ def crop_complex(data: ComplexData, keep: np.ndarray) -> ComplexData:
         rec_pos=np.asarray(data.rec_pos)[keep],
         rec_nbr=new_nbr[keep].astype(np.int32),
         rec_nbr_mask=nbr_mask[keep],
+        rec_scv=(
+            None if data.rec_scv is None else np.asarray(data.rec_scv)[keep]
+        ),
     )
 
 

@@ -32,20 +32,33 @@ def save_complex_npz(path: str, data) -> None:
     """Save a ComplexData or AAComplexData (atom fields get an ``atom__``-
     style prefix so one .npz holds both)."""
     if isinstance(data, AAComplexData):
-        payload = {f: np.asarray(getattr(data.base, f)) for f in _FIELDS}
+        payload = {
+            f: np.asarray(getattr(data.base, f))
+            for f in _FIELDS
+            if getattr(data.base, f) is not None
+        }
         payload.update({
             f"aa__{f}": np.asarray(getattr(data, f)) for f in _AA_FIELDS
         })
         np.savez_compressed(path, **payload)
     else:
         np.savez_compressed(
-            path, **{f: np.asarray(getattr(data, f)) for f in _FIELDS}
+            path,
+            **{
+                f: np.asarray(getattr(data, f))
+                for f in _FIELDS
+                if getattr(data, f) is not None
+            },
         )
 
 
 def load_complex_npz(path: str):
     with np.load(path) as z:
-        base = ComplexData(**{f: z[f] for f in _FIELDS})
+        # optional trailing fields (e.g. rec_scv) may be absent in shards
+        # written by older versions — they default to None
+        base = ComplexData(
+            **{f: z[f] for f in _FIELDS if f in z.files}
+        )
         if f"aa__{_AA_FIELDS[0]}" in z.files:
             return AAComplexData(
                 base=base, **{f: z[f"aa__{f}"] for f in _AA_FIELDS}
@@ -193,12 +206,14 @@ class ComplexDataset:
                 if drop_last and len(chunk) < batch_size:
                     continue
                 datas = [pad_to(self.get(n), nl, nr, nb) for n in chunk]
-                stacked = ComplexData(
-                    *[
-                        np.stack([np.asarray(getattr(d, f)) for d in datas])
-                        for f in _FIELDS
-                    ]
-                )
+
+                def stack_field(f):
+                    vals = [getattr(d, f) for d in datas]
+                    if any(v is None for v in vals):
+                        return None
+                    return np.stack([np.asarray(v) for v in vals])
+
+                stacked = ComplexData(*[stack_field(f) for f in _FIELDS])
                 yield chunk, stacked
 
 

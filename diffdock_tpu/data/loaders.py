@@ -104,10 +104,13 @@ def _stack(members, bucket):
     nl, nr, nb = bucket
     names = [n for n, _ in members]
     datas = [pad_to(d, nl, nr, nb) for _, d in members]
-    stacked = ComplexData(*[
-        np.stack([np.asarray(getattr(d, f)) for d in datas])
-        for f in _FIELDS
-    ])
+    def stack_field(f):
+        vals = [getattr(d, f) for d in datas]
+        if any(v is None for v in vals):
+            return None
+        return np.stack([np.asarray(v) for v in vals])
+
+    stacked = ComplexData(*[stack_field(f) for f in _FIELDS])
     return names, stacked
 
 

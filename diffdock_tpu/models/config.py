@@ -77,6 +77,11 @@ class ScoreModelConfig:
     atom_confidence: bool = False
     atom_num_confidence_outputs: int = 1
 
+    # per-residue sidechain/backbone prediction head feeding the auxiliary
+    # losses (reference sidechain_pred, cg_model.py:173-179; enabled when
+    # sidechain_loss_weight or backbone_loss_weight > 0, utils/utils.py:274)
+    sidechain_pred: bool = False
+
     # grouped conv FCs per edge type (reference differentiate_convolutions)
     differentiate_convolutions: bool = True
 

@@ -53,6 +53,10 @@ class ScoreOutput(NamedTuple):
     tr: jnp.ndarray  # (3,)
     rot: jnp.ndarray  # (3,)
     tor: jnp.ndarray  # (B,)
+    # (NR, 10) per-residue [4 chi, N-CA, C-CA] predictions when the
+    # sidechain head is enabled (reference sidechain_pred,
+    # cg_model.py:173-179, 397-402); None otherwise
+    sidechain: Optional[jnp.ndarray] = None
 
 
 class MLP2(nn.Module):
@@ -244,6 +248,16 @@ class CGScoreModel(nn.Module):
             self.tor_final_dense1 = nn.Dense(ns, use_bias=False)
             self.tor_final_dense2 = nn.Dense(1, use_bias=False)
             self.tor_dropout = nn.Dropout(cfg.dropout)
+        if cfg.sidechain_pred:
+            from diffdock_tpu.ops.linear import IrrepsLinear
+
+            # reference sidechain head (cg_model.py:173-179): o3.Linear to
+            # 4x0e + 2x1e + 4x0o + 2x1o; even and odd halves are summed
+            self.sidechain_predictor = IrrepsLinear(
+                irreps_in=self.final_ladder,
+                irreps_out="4x0e + 2x1e + 4x0o + 2x1o",
+                name="sidechain_predictor",
+            )
 
     def setup(self):
         cfg = self.cfg
@@ -545,13 +559,21 @@ class CGScoreModel(nn.Module):
             so3_tables, train,
         )
 
+        sidechain = None
+        if cfg.sidechain_pred:
+            sc = self.sidechain_predictor(rec_node_attr)
+            # sum even and odd components (cg_model.py:402)
+            sidechain = sc[:, :10] + sc[:, 10:]
+
         if cfg.no_torsion or data.rot_u.shape[0] == 0:
             tor_pred = jnp.zeros((data.rot_u.shape[0],))
         else:
             tor_pred = self._torsion_head(
                 data, lig_pos, lig_node_attr, tor_sigma, torus_tables, train
             )
-        return ScoreOutput(tr=tr_pred, rot=rot_pred, tor=tor_pred)
+        return ScoreOutput(
+            tr=tr_pred, rot=rot_pred, tor=tor_pred, sidechain=sidechain
+        )
 
     # ------------------------------------------------------------------
     def _center_head(

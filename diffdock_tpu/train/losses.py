@@ -33,6 +33,41 @@ class LossParts(NamedTuple):
     rot_base: jnp.ndarray
     tor_base_sum: jnp.ndarray
     t: jnp.ndarray  # diffusion time, for sigma-interval logging
+    # sidechain/backbone auxiliary sums (reference utils/training.py:61-124);
+    # zeros when the model has no sidechain head or the data no targets
+    bb_sq_sum: jnp.ndarray = jnp.zeros(())  # sum_r mean_d (pred - vec)^2
+    bb_base_sum: jnp.ndarray = jnp.zeros(())  # sum_r (vec^2 mean + 1e-4)
+    sc_sq_sum: jnp.ndarray = jnp.zeros(())  # sum_r mean_chi circular diff^2
+    sc_base_sum: jnp.ndarray = jnp.zeros(())
+    rec_count: jnp.ndarray = jnp.zeros(())
+
+
+def aux_sidechain_parts(sidechain_pred, rec_scv, rec_mask):
+    """Per-complex sums for the backbone-vector and sidechain-chi losses
+    (reference formulas, ``utils/training.py:61-77`` backbone,
+    ``:88-101`` chi: circular |diff| folded at 0.5, NaN chis zeroed)."""
+    m = rec_mask.astype(jnp.float32)
+    vecs = rec_scv[:, 4:]
+    vecs = jnp.where(jnp.isnan(vecs), 0.0, vecs)
+    bpred = sidechain_pred[:, 4:]
+    bb_sq = jnp.mean((bpred - vecs) ** 2, axis=-1)
+    bb_base = jnp.mean(vecs**2, axis=-1) + 1e-4
+
+    chi = rec_scv[:, :4]
+    valid = ~jnp.isnan(chi)
+    chi0 = jnp.where(valid, chi, 0.0)
+    cpred = jnp.where(valid, sidechain_pred[:, :4], 0.0)
+    diff = jnp.abs(cpred - chi0)
+    diff = jnp.minimum(diff, 1.0 - diff)  # angles are circular, 360 deg = 1
+    sc_sq = jnp.mean(diff**2, axis=-1)
+    sc_base = jnp.mean(chi0**2, axis=-1) + 1e-4
+    return dict(
+        bb_sq_sum=jnp.sum(bb_sq * m),
+        bb_base_sum=jnp.sum(bb_base * m),
+        sc_sq_sum=jnp.sum(sc_sq * m),
+        sc_base_sum=jnp.sum(sc_base * m),
+        rec_count=jnp.sum(m),
+    )
 
 
 def per_complex_losses(
@@ -42,6 +77,8 @@ def per_complex_losses(
     sigma_cfg: SigmaConfig,
     so3_tables: SO3Tables,
     torus_tables: TorusTables,
+    rec_scv=None,
+    rec_mask=None,
 ) -> LossParts:
     t = sample.t
     tr_sigma, rot_sigma, tor_sigma = t_to_sigma(t, t, t, sigma_cfg)
@@ -59,6 +96,9 @@ def per_complex_losses(
     tor_sq = (pred.tor - sample.tor_score) ** 2 / tor_norm
     tor_base_sq = sample.tor_score**2 / tor_norm
     m = rot_mask.astype(tor_sq.dtype)
+    aux = {}
+    if getattr(pred, "sidechain", None) is not None and rec_scv is not None:
+        aux = aux_sidechain_parts(pred.sidechain, rec_scv, rec_mask)
     return LossParts(
         tr=tr,
         rot=rot,
@@ -68,6 +108,7 @@ def per_complex_losses(
         rot_base=rot_base,
         tor_base_sum=jnp.sum(tor_base_sq * m),
         t=t,
+        **aux,
     )
 
 
@@ -76,11 +117,15 @@ def total_loss(
     tr_weight: float = 0.33,
     rot_weight: float = 0.33,
     tor_weight: float = 0.33,
+    backbone_weight: float = 0.0,
+    sidechain_weight: float = 0.0,
 ):
     """Aggregate batched per-complex parts into the scalar training loss.
 
     ``parts`` leaves have a leading batch dim; torsion uses the reference's
-    flat mean over all rotatable bonds in the batch."""
+    flat mean over all rotatable bonds in the batch; the auxiliary losses
+    normalize by the batch-mean base like the reference
+    (``training.py:69,102``: loss.mean() / base.mean() == sum(sq)/sum(base))."""
     tr = jnp.mean(parts.tr)
     rot = jnp.mean(parts.rot)
     tor = jnp.sum(parts.tor_sum) / jnp.maximum(jnp.sum(parts.tor_count), 1e-4)
@@ -95,6 +140,17 @@ def total_loss(
         "tor_base_loss": jnp.sum(parts.tor_base_sum)
         / jnp.maximum(jnp.sum(parts.tor_count), 1e-4),
     }
+    if backbone_weight > 0.0 or sidechain_weight > 0.0:
+        bb = jnp.sum(parts.bb_sq_sum) / jnp.maximum(
+            jnp.sum(parts.bb_base_sum), 1e-8
+        )
+        sc = jnp.sum(parts.sc_sq_sum) / jnp.maximum(
+            jnp.sum(parts.sc_base_sum), 1e-8
+        )
+        loss = loss + backbone_weight * bb + sidechain_weight * sc
+        metrics["loss"] = loss
+        metrics["backbone_loss"] = bb
+        metrics["sidechain_loss"] = sc
     return loss, metrics
 
 

@@ -39,6 +39,11 @@ class TrainConfig:
     tr_weight: float = 0.33
     rot_weight: float = 0.33
     tor_weight: float = 0.33
+    # auxiliary flexible-sidechain losses (reference train.py
+    # backbone_loss_weight / sidechain_loss_weight; requires
+    # model.cfg.sidechain_pred and rec_scv targets in the data)
+    backbone_weight: float = 0.0
+    sidechain_weight: float = 0.0
     sampling_alpha: float = 1.0
     sampling_beta: float = 1.0
     grad_clip: Optional[float] = None
@@ -201,7 +206,8 @@ def make_train_step(
                     rngs={"dropout": dkey}, **kw,
                 )
                 parts = per_complex_losses(
-                    out, sample, data.rot_mask, sigma_cfg, so3, torus
+                    out, sample, data.rot_mask, sigma_cfg, so3, torus,
+                    rec_scv=data.rec_scv, rec_mask=data.rec_mask,
                 )
                 return parts, mutated["batch_stats"]
 
@@ -211,6 +217,8 @@ def make_train_step(
             loss, metrics = total_loss(
                 parts, train_cfg.tr_weight, train_cfg.rot_weight,
                 train_cfg.tor_weight,
+                backbone_weight=train_cfg.backbone_weight,
+                sidechain_weight=train_cfg.sidechain_weight,
             )
             if train_cfg.log_sigma_intervals:
                 from diffdock_tpu.train.losses import sigma_interval_metrics

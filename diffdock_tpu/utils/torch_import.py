@@ -206,6 +206,37 @@ def _convert_atom_encoder(sd: Dict, prefix: str, kind: str = "new"):
     return out
 
 
+def _convert_irreps_linear(sd: Dict, prefix: str, irreps_in: str,
+                           irreps_out: str):
+    """e3nn ``o3.Linear`` (internal_weights=True) -> our ``IrrepsLinear``.
+
+    e3nn flattens per-instruction (mul_in, mul_out) blocks in in-major
+    instruction order; ours keys one stacked kernel per OUTPUT entry
+    (``w_{k}``), with input entries stacked in irreps_in order — the same
+    row order, so blocks concatenate directly. Both divide by
+    sqrt(total fan-in) at apply time."""
+    from diffdock_tpu.ops.irreps import Irreps
+
+    w = _n(sd.pop(f"{prefix}.weight")).ravel()
+    in_e = list(Irreps(irreps_in))
+    out_e = list(Irreps(irreps_out))
+    blocks: Dict[int, list] = {}
+    off = 0
+    for i, e1 in enumerate(in_e):
+        for k, e3 in enumerate(out_e):
+            if (e1.ir.l, e1.ir.p) == (e3.ir.l, e3.ir.p):
+                size = e1.mul * e3.mul
+                blocks.setdefault(k, []).append(
+                    (i, w[off : off + size].reshape(e1.mul, e3.mul))
+                )
+                off += size
+    assert off == w.size, (off, w.size)
+    return {
+        f"w_{k}": np.concatenate([b for _, b in sorted(lst)], axis=0)
+        for k, lst in blocks.items()
+    }
+
+
 def _convert_confidence_mlp(sd: Dict, stats: Dict, prefix: str, our_name: str):
     """Dense(-BN1d)-ReLU-Drop x2 + Dense -> ConfidenceMLP params/stats.
     Walks the Sequential indices, classifying 2D weights as linears and 1D
@@ -314,6 +345,11 @@ class _Ctx:
         # in irreps of the final convs = output of the last ladder step
         npe = 0 if cfg.old_architecture else cfg.num_prot_emb_layers
         final_in = self.ladder(npe + cfg.num_conv_layers)
+        if "sidechain_predictor.weight" in sd:
+            self.params["sidechain_predictor"] = _convert_irreps_linear(
+                sd, "sidechain_predictor", final_in,
+                "4x0e + 2x1e + 4x0o + 2x1o",
+            )
         tp_final = self._FCTP(final_in, self.sh, "2x1o + 2x1e")
         self.conv_layer("final_conv", "final_conv", tp_final, 1)
         for name in ("tr_final_layer", "rot_final_layer"):
@@ -634,6 +670,10 @@ def config_from_reference_args(
         ) > 0.0,
         atom_num_confidence_outputs=(
             len(atom_rmsd_cut) + 1 if isinstance(atom_rmsd_cut, list) else 1
+        ),
+        sidechain_pred=(
+            (g("sidechain_loss_weight", 0.0) or 0.0) > 0
+            or (g("backbone_loss_weight", 0.0) or 0.0) > 0
         ),
         differentiate_convolutions=not g("no_differentiate_convolutions", False),
         old_architecture=old,

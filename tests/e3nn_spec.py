@@ -190,6 +190,37 @@ class SpecFCTP:
 
 
 # ---------------------------------------------------------------------------
+# o3.Linear (internal_weights=True, biases=False)
+# ---------------------------------------------------------------------------
+def spec_o3_linear(irreps_in, irreps_out, flat_w, x):
+    """e3nn Linear forward from its documented conventions: in-major
+    instruction enumeration of same-irrep (in, out) pairs, (mul_in, mul_out)
+    row-major blocks, each output divided by sqrt(total fan-in)."""
+    in_e = parse_irreps(irreps_in)
+    out_e = parse_irreps(irreps_out)
+    sli, slo = slices(in_e), slices(out_e)
+    x = np.asarray(x, np.float64)
+    flat_w = np.asarray(flat_w, np.float64)
+    out = np.zeros(x.shape[:-1] + (irreps_dim(out_e),))
+    fan = {
+        k: sum(m1 for m1, l1, p1 in in_e if (l1, p1) == (e3[1], e3[2]))
+        for k, e3 in enumerate(out_e)
+    }
+    off = 0
+    for i, (m1, l1, p1) in enumerate(in_e):
+        for k, (m3, l3, p3) in enumerate(out_e):
+            if (l1, p1) != (l3, p3):
+                continue
+            w = flat_w[off : off + m1 * m3].reshape(m1, m3)
+            off += m1 * m3
+            a = x[..., sli[i]].reshape(x.shape[:-1] + (m1, 2 * l1 + 1))
+            seg = np.einsum("...ud,uw->...wd", a, w) / np.sqrt(fan[k])
+            out[..., slo[k]] += seg.reshape(x.shape[:-1] + (m3 * (2 * l3 + 1),))
+    assert off == flat_w.size
+    return out
+
+
+# ---------------------------------------------------------------------------
 # e3nn nn.BatchNorm, eval mode ('component' normalization, affine)
 # ---------------------------------------------------------------------------
 def spec_batch_norm_eval(x, irreps, weight, bias, running_mean, running_var,
