@@ -85,6 +85,11 @@ class ScoreModelConfig:
     # grouped conv FCs per edge type (reference differentiate_convolutions)
     differentiate_convolutions: bool = True
 
+    # 'uvu' depthwise tensor-product convolutions + equivariant linear
+    # (reference depthwise_convolution, tensor_layers.py:248-292): far fewer
+    # TP weights per edge; applies to the ladder convs only
+    depthwise_convolution: bool = False
+
     # v1.0 (ICLR'23) architecture family: separate conv stacks per edge type,
     # sigma embedded through the node encoders, no protein-embedding layers
     # (reference models/old_cg_model.py, old_aa_model.py). The shipped

@@ -142,6 +142,7 @@ class CGScoreModel(nn.Module):
             bn_axis_names=tuple(cfg.bn_axis_names),
             factored=cfg.factored_tp,
             dtype=cfg.compute_dtype,
+            depthwise=cfg.depthwise_convolution,
         )
 
     def _setup_base(self):

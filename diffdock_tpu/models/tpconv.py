@@ -28,8 +28,12 @@ import numpy as np
 from diffdock_tpu.models.encoders import FCBlock
 from diffdock_tpu.ops.batch_norm import IrrepsBatchNorm
 from diffdock_tpu.ops.irreps import Irreps
+from diffdock_tpu.ops.linear import IrrepsLinear
 from diffdock_tpu.ops.segment import multi_group_mean
-from diffdock_tpu.ops.tensor_product import FullyConnectedTensorProduct
+from diffdock_tpu.ops.tensor_product import (
+    DepthwiseTensorProduct,
+    FullyConnectedTensorProduct,
+)
 
 
 class NeighborBlock(NamedTuple):
@@ -158,6 +162,10 @@ class TPConvLayer(nn.Module):
     bn_axis_names: tuple = ()
     factored: bool = True
     dtype: str = "float32"
+    # 'uvu' depthwise variant (reference tensor_layers.py:248-292): channels
+    # couple with the harmonics independently, then an equivariant linear
+    # mixes multiplicities BEFORE batch norm (tensor_layers.py:324-328)
+    depthwise: bool = False
 
     @nn.compact
     def __call__(
@@ -167,9 +175,14 @@ class TPConvLayer(nn.Module):
         receiver_mask: Optional[jnp.ndarray] = None,
         train: bool = False,
     ) -> jnp.ndarray:
-        tp = FullyConnectedTensorProduct(
-            self.in_irreps, self.sh_irreps, self.out_irreps
-        )
+        if self.depthwise:
+            tp = DepthwiseTensorProduct(
+                self.in_irreps, self.sh_irreps, self.out_irreps
+            )
+        else:
+            tp = FullyConnectedTensorProduct(
+                self.in_irreps, self.sh_irreps, self.out_irreps
+            )
         hidden = self.hidden_features or self.n_edge_features
 
         def make_fc(name):
@@ -184,13 +197,16 @@ class TPConvLayer(nn.Module):
             )
 
         shared = make_fc("fc") if self.shared_fc else None
-        if self.factored:
+        if self.factored and not self.depthwise:
             parts = []
             for g, blk in enumerate(blocks):
                 fc = shared if self.shared_fc else make_fc(f"fc_{g}")
                 parts.append(_tp_message_reduced(tp, fc, blk, train, self.dtype))
             out = _combine_reduced(parts)
         else:
+            # depthwise runs the naive per-edge path: its weight tensor is
+            # one scalar per channel, so the HBM blow-up the factored path
+            # avoids does not occur
             parts, masks = [], []
             for g, blk in enumerate(blocks):
                 fc = shared if self.shared_fc else make_fc(f"fc_{g}")
@@ -198,6 +214,11 @@ class TPConvLayer(nn.Module):
                 masks.append(blk.nbr_mask)
             out = multi_group_mean(parts, masks)
 
+        if self.depthwise:
+            out = IrrepsLinear(
+                irreps_in=str(tp.irreps_mid), irreps_out=self.out_irreps,
+                name="linear_2",
+            )(out)
         if self.batch_norm:
             out = IrrepsBatchNorm(
                 Irreps(self.out_irreps), axis_names=self.bn_axis_names, name="bn"
@@ -233,14 +254,21 @@ class MultiTPConvLayer(nn.Module):
     bn_axis_names: tuple = ()
     factored: bool = True
     dtype: str = "float32"
+    depthwise: bool = False
 
     @nn.compact
     def __call__(self, receiver_sets, train: bool = False):
-        tp = FullyConnectedTensorProduct(
-            self.in_irreps, self.sh_irreps, self.out_irreps
-        )
+        if self.depthwise:
+            tp = DepthwiseTensorProduct(
+                self.in_irreps, self.sh_irreps, self.out_irreps
+            )
+            mid_dim = tp.irreps_mid.dim
+        else:
+            tp = FullyConnectedTensorProduct(
+                self.in_irreps, self.sh_irreps, self.out_irreps
+            )
+            mid_dim = Irreps(self.out_irreps).dim
         hidden = self.hidden_features or self.n_edge_features
-        out_dim = Irreps(self.out_irreps).dim
         fcs = {}
 
         def get_fc(g: int):
@@ -257,9 +285,9 @@ class MultiTPConvLayer(nn.Module):
         outs = []
         for attr, blocks, groups, _mask in receiver_sets:
             if not blocks:
-                outs.append(jnp.zeros(attr.shape[:-1] + (out_dim,), attr.dtype))
+                outs.append(jnp.zeros(attr.shape[:-1] + (mid_dim,), attr.dtype))
                 continue
-            if self.factored:
+            if self.factored and not self.depthwise:
                 parts = [
                     _tp_message_reduced(tp, get_fc(g), blk, train, self.dtype)
                     for g, blk in zip(groups, blocks)
@@ -275,6 +303,11 @@ class MultiTPConvLayer(nn.Module):
                 )
 
         out = jnp.concatenate(outs, axis=0)
+        if self.depthwise:
+            out = IrrepsLinear(
+                irreps_in=str(tp.irreps_mid), irreps_out=self.out_irreps,
+                name="linear_2",
+            )(out)
         if self.batch_norm:
             mask = jnp.concatenate([s[3] for s in receiver_sets], axis=0)
             out = IrrepsBatchNorm(
@@ -318,6 +351,7 @@ class JointTPConvLayer(nn.Module):
     bn_axis_names: tuple = ()
     factored: bool = True
     dtype: str = "float32"
+    depthwise: bool = False
 
     @nn.compact
     def __call__(
@@ -332,9 +366,14 @@ class JointTPConvLayer(nn.Module):
         rec_mask: jnp.ndarray,
         train: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        tp = FullyConnectedTensorProduct(
-            self.in_irreps, self.sh_irreps, self.out_irreps
-        )
+        if self.depthwise:
+            tp = DepthwiseTensorProduct(
+                self.in_irreps, self.sh_irreps, self.out_irreps
+            )
+        else:
+            tp = FullyConnectedTensorProduct(
+                self.in_irreps, self.sh_irreps, self.out_irreps
+            )
         hidden = self.hidden_features or self.n_edge_features
 
         fcs = {}
@@ -354,7 +393,8 @@ class JointTPConvLayer(nn.Module):
                 )
             return fcs[key]
 
-        if self.factored:
+        factored = self.factored and not self.depthwise
+        if factored:
             lig_parts = [
                 _tp_message_reduced(tp, get_fc(g), blk, train, self.dtype)
                 for g, blk in zip(lig_groups, lig_blocks)
@@ -372,7 +412,7 @@ class JointTPConvLayer(nn.Module):
         if self.last_layer:
             assert not rec_blocks
             rec_out = jnp.zeros(rec_attr.shape[:-1] + (lig_out.shape[-1],), lig_out.dtype)
-        elif self.factored:
+        elif factored:
             rec_parts = [
                 _tp_message_reduced(tp, get_fc(g), blk, train, self.dtype)
                 for g, blk in zip(rec_groups, rec_blocks)
@@ -386,6 +426,11 @@ class JointTPConvLayer(nn.Module):
             rec_out = multi_group_mean(rec_parts, [b.nbr_mask for b in rec_blocks])
 
         out = jnp.concatenate([lig_out, rec_out], axis=0)
+        if self.depthwise:
+            out = IrrepsLinear(
+                irreps_in=str(tp.irreps_mid), irreps_out=self.out_irreps,
+                name="linear_2",
+            )(out)
         if self.batch_norm:
             mask = jnp.concatenate([lig_mask, rec_mask], axis=0)
             out = IrrepsBatchNorm(
