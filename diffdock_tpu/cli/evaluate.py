@@ -1,6 +1,12 @@
 """Benchmark harness (reference ``evaluate.py``): dock a test split with
 known crystal poses, score symmetry-corrected RMSDs, print the metric table
 and dump per-complex arrays.
+
+Covers the reference's dataset modes (pdbbind / posebusters / custom
+protein+ligand file names / moad-DockGen, ``evaluate.py:36-87``,
+``datasets/pdbbind.py:392-404``), gnina-in-the-loop rescoring
+(``evaluate.py:434-472``), and the batch-halving retry recovery
+(``evaluate.py:523-540``).
 """
 
 from __future__ import annotations
@@ -18,10 +24,18 @@ def get_parser():
     p.add_argument("--data_dir", required=True,
                    help="PDBBind-layout root (or MOAD root with --dataset moad)")
     p.add_argument("--dataset", default="pdbbind",
-                   choices=["pdbbind", "moad"],
-                   help="moad = DockGen-style eval with min RMSD over all "
-                        "same-formula ground-truth poses in the cluster")
+                   choices=["pdbbind", "posebusters", "moad"],
+                   help="posebusters = {name}_protein.pdb/{name}_ligand.sdf "
+                        "layout with min-RMSD over all poses in "
+                        "{name}_ligands.sdf; moad = DockGen-style eval with "
+                        "min RMSD over all same-formula ground-truth poses")
     p.add_argument("--split", default=None, help="file with complex names")
+    p.add_argument("--protein_file", default=None,
+                   help="protein file stem, e.g. 'protein_processed' -> "
+                        "{name}_protein_processed.pdb (reference "
+                        "evaluate.py --protein_file)")
+    p.add_argument("--ligand_file", default=None,
+                   help="ligand file stem, e.g. 'ligand' -> {name}_ligand.sdf")
     p.add_argument("--model_dir", default=None)
     p.add_argument("--confidence_model_dir", default=None)
     p.add_argument("--model_preset", default="diffdock_s")
@@ -34,7 +48,50 @@ def get_parser():
     p.add_argument("--cache_path", default="data/cache_tpu")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
+    # gnina rescoring in the loop (reference evaluate.py:166-172,434-472)
+    p.add_argument("--gnina_minimize", action="store_true", default=False)
+    p.add_argument("--gnina_path", default="gnina")
+    p.add_argument("--gnina_full_dock", action="store_true", default=False)
+    p.add_argument("--gnina_autobox_add", type=float, default=4.0)
+    p.add_argument("--gnina_poses_to_optimize", type=int, default=1)
+    # failure handling (reference evaluate.py:523-540)
+    p.add_argument("--max_retries", type=int, default=3,
+                   help="dock retries with halved pose batches before a "
+                        "complex is recorded as a penalty row")
     return p
+
+
+def dock_with_retry(pipeline, data, num_poses, seed, max_retries=3):
+    """Dock with batch-halving recovery (reference ``evaluate.py:523-527``):
+    on failure, retry the same total pose count in smaller vmapped chunks."""
+    chunk = num_poses
+    for attempt in range(max_retries):
+        try:
+            if chunk >= num_poses:
+                return pipeline.dock_complex(data, num_poses=num_poses,
+                                             seed=seed)
+            poses, confs = [], []
+            for k in range(0, num_poses, chunk):
+                n = min(chunk, num_poses - k)
+                r = pipeline.dock_complex(data, num_poses=n, seed=seed + k)
+                poses.append(r.poses)
+                confs.append(r.confidence if r.confidence is not None
+                             else np.zeros(n))
+            poses = np.concatenate(poses)
+            confs = np.concatenate(confs)
+            import types
+
+            return types.SimpleNamespace(
+                poses=poses, confidence=confs, order=np.argsort(-confs),
+                affinity=None, trajectory=None,
+            )
+        except Exception as e:  # noqa: BLE001 — reference-style halving
+            if chunk <= 1 or attempt == max_retries - 1:
+                raise
+            chunk = max(1, chunk // 2)
+            print(f"  retry with pose chunks of {chunk}: "
+                  f"{type(e).__name__}: {e}")
+    raise RuntimeError("unreachable")
 
 
 def main(argv=None):
@@ -45,7 +102,10 @@ def main(argv=None):
     from diffdock_tpu.data.datasets import (
         ComplexDataset, DatasetConfig, pdbbind_specs,
     )
-    from diffdock_tpu.eval.metrics import compute_metric_table
+    from diffdock_tpu.eval.gnina import gnina_minimize_pose
+    from diffdock_tpu.eval.metrics import (
+        compute_metric_table, gnina_metric_table, min_self_distances,
+    )
     from diffdock_tpu.eval.rmsd import molecular_automorphisms, symmetry_rmsd
 
     dock_args = argparse.Namespace(
@@ -60,8 +120,12 @@ def main(argv=None):
     )
     pipeline = load_pipeline(dock_args)
 
-    from diffdock_tpu.eval.metrics import min_self_distances
+    protein_stem = args.protein_file or (
+        "protein" if args.dataset == "posebusters" else "protein_processed"
+    )
+    ligand_stem = args.ligand_file or "ligand"
 
+    spec_by_name = {}
     if args.dataset == "moad":
         from diffdock_tpu.data.moad import MOADConfig, MOADDataset
 
@@ -78,8 +142,13 @@ def main(argv=None):
         # DockGen metric: min over all same-formula ground truths
         # (reference evaluate.py:474-484)
         get_refs = moad.alternative_ground_truths
+        get_receptor_pdb = lambda name: moad._receptor_path(name[:6])
     else:
-        specs = pdbbind_specs(args.data_dir, args.split)
+        specs = pdbbind_specs(
+            args.data_dir, args.split,
+            protein_suffix=f"_{protein_stem}.pdb",
+            ligand_suffix=f"_{ligand_stem}.sdf",
+        )
         if args.limit_complexes:
             specs = specs[: args.limit_complexes]
         ds = ComplexDataset(specs, DatasetConfig(cache_dir=args.cache_path))
@@ -90,21 +159,52 @@ def main(argv=None):
         get_mol = lambda name: read_molecule_file(
             spec_by_name[name].ligand_path
         ).remove_hs()
-        get_refs = None
+        get_receptor_pdb = lambda name: spec_by_name[name].protein_path
+        if args.dataset == "posebusters":
+            # min-RMSD over every pose in {name}_ligands.sdf
+            # (reference datasets/pdbbind.py:392-404)
+            from diffdock_tpu.data.chem import parse_sdf
+
+            def get_refs(name):
+                path = os.path.join(args.data_dir, name,
+                                    f"{name}_ligands.sdf")
+                if not os.path.exists(path):
+                    return None
+                with open(path) as f:
+                    mols = parse_sdf(f.read())
+                refs = [m.remove_hs().coords for m in mols]
+                print(f"[{name}] {len(refs)} alternative poses")
+                return refs or None
+        else:
+            get_refs = None
     print(f"evaluating {len(eval_names)} complexes")
 
+    P = args.samples_per_complex
     names, rmsd_rows, centroid_rows, run_times, clash_rows = [], [], [], [], []
+    conf_rows, gnina_rmsd_rows, gnina_score_rows = [], [], []
+    failures = 0
     for name in eval_names:
         data = get_data(name)
         if data is None:
             continue
         t0 = time.time()
         try:
-            result = pipeline.dock_complex(
-                data, num_poses=args.samples_per_complex, seed=args.seed
+            result = dock_with_retry(
+                pipeline, data, P, args.seed, max_retries=args.max_retries
             )
-        except Exception as e:  # noqa: BLE001 — skip-and-continue
+        except Exception as e:  # noqa: BLE001 — penalty row, keep counts
             print(f"[{name}] failed: {type(e).__name__}: {e}")
+            failures += 1
+            names.append(name)
+            rmsd_rows.append(np.full(P, 10000.0))
+            centroid_rows.append(np.full(P, 10000.0))
+            clash_rows.append(np.full(P, 10000.0))
+            conf_rows.append(np.full(P, -10000.0))
+            if args.gnina_minimize:
+                gnina_rmsd_rows.append(
+                    np.full(args.gnina_poses_to_optimize, 10000.0))
+                gnina_score_rows.append(
+                    np.full(args.gnina_poses_to_optimize, -10000.0))
             continue
         run_times.append(time.time() - t0)
 
@@ -114,6 +214,9 @@ def main(argv=None):
         ordered = result.poses[result.order]
         if get_refs is not None:
             refs = get_refs(name)
+            if refs is None:
+                refs = [np.asarray(data.lig_pos)
+                        + np.asarray(data.original_center)]
         else:
             refs = [np.asarray(data.lig_pos) + np.asarray(data.original_center)]
         rmsds = np.min(
@@ -126,14 +229,44 @@ def main(argv=None):
              for r in refs],
             axis=0,
         )
+        if args.gnina_minimize:
+            # rescoring pass (reference evaluate.py:434-472): minimize the
+            # top-confidence poses with gnina, re-RMSD the minimized coords
+            g_rmsds, g_scores = [], []
+            for pose in ordered[: args.gnina_poses_to_optimize]:
+                gpos, gmol, gscore = gnina_minimize_pose(
+                    mol, pose, get_receptor_pdb(name),
+                    binary=args.gnina_path,
+                    full_dock=args.gnina_full_dock,
+                    autobox_add=args.gnina_autobox_add,
+                )
+                gbonds = [(i, j) for i, j, _ in gmol.bonds]
+                try:
+                    gr = np.min([
+                        symmetry_rmsd(r, gpos[None], gmol.elements, gbonds)[0]
+                        for r in refs
+                    ])
+                except Exception:  # noqa: BLE001 — uncorrected fallback
+                    gr = float(np.min([
+                        np.sqrt(((gpos - r) ** 2).sum(-1).mean())
+                        for r in refs if r.shape == gpos.shape
+                    ] or [np.inf]))
+                g_rmsds.append(gr)
+                g_scores.append(gscore)
+            gnina_rmsd_rows.append(np.asarray(g_rmsds))
+            gnina_score_rows.append(np.asarray(g_scores))
         clash_rows.append(
             [min_self_distances(p, bonds) for p in ordered]
         )
         names.append(name)
         rmsd_rows.append(rmsds)
         centroid_rows.append(centroids)
+        conf = result.confidence if result.confidence is not None \
+            else np.zeros(P)
+        conf_rows.append(np.asarray(conf)[result.order])
         print(f"[{name}] top-1 rmsd {rmsds[0]:.2f} A ({run_times[-1]:.1f}s)")
 
+    print(f"{failures} failures due to exceptions")
     os.makedirs(args.out_dir, exist_ok=True)
     rmsds = np.asarray(rmsd_rows)
     centroids = np.asarray(centroid_rows)
@@ -141,15 +274,24 @@ def main(argv=None):
     np.save(os.path.join(args.out_dir, "centroid_distances.npy"), centroids)
     np.save(os.path.join(args.out_dir, "run_times.npy"), np.asarray(run_times))
     np.save(os.path.join(args.out_dir, "names.npy"), np.asarray(names))
+    np.save(os.path.join(args.out_dir, "confidences.npy"),
+            np.asarray(conf_rows))
     np.save(os.path.join(args.out_dir, "min_self_distances.npy"),
             np.asarray(clash_rows))
 
     table = compute_metric_table(rmsds, centroids, np.asarray(run_times))
+    table["failures"] = failures
     if clash_rows:
         # steric clash proxy (reference evaluate.py:486-505)
         table["steric_clash_fraction"] = float(
             (np.asarray(clash_rows)[:, 0] < 0.4).mean() * 100
         )
+    if args.gnina_minimize and gnina_rmsd_rows:
+        g_rmsds = np.asarray(gnina_rmsd_rows)
+        g_scores = np.asarray(gnina_score_rows)
+        np.save(os.path.join(args.out_dir, "gnina_rmsds.npy"), g_rmsds)
+        np.save(os.path.join(args.out_dir, "gnina_scores.npy"), g_scores)
+        table.update(gnina_metric_table(g_rmsds, g_scores))
     with open(os.path.join(args.out_dir, "metrics.json"), "w") as f:
         json.dump(table, f, indent=2)
     print(json.dumps(table, indent=2))

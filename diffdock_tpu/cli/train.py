@@ -57,8 +57,15 @@ def get_parser():
     p.add_argument("--num_inference_complexes", type=int, default=20)
     p.add_argument("--inference_samples", type=int, default=4)
     p.add_argument("--inference_steps", type=int, default=8)
-    p.add_argument("--scheduler", default=None, choices=[None, "plateau"])
+    p.add_argument("--scheduler", default=None,
+                   choices=[None, "plateau", "layer_linear_warmup"])
     p.add_argument("--scheduler_patience", type=int, default=20)
+    # progressive layer unfreezing (reference utils/utils.py:131-169)
+    p.add_argument("--warmup_dur", type=int, default=4)
+    p.add_argument("--lr_start_factor", type=float, default=0.001)
+    p.add_argument("--inference_secondary_metric", default=None,
+                   help="extra valinf metric tracked by its own checkpoint "
+                        "flavor (reference train.py:117-122)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on N synthetic complexes (smoke/benchmark)")
     # multi-dataset training (reference --dataset/--combined_training/
@@ -262,12 +269,44 @@ def main(argv=None):
     os.makedirs(args.log_dir, exist_ok=True)
     best_loss = float("inf")
     best_inf_metric = -1.0
+    best_secondary = -1.0
     rng = jax.random.PRNGKey(args.seed + 1)
     history = []
     plateau = PlateauScheduler(patience=args.scheduler_patience) \
-        if args.scheduler == "plateau" else None
+        if args.scheduler in ("plateau", "layer_linear_warmup") else None
+    layer_warmup = None
+    if args.scheduler == "layer_linear_warmup":
+        from diffdock_tpu.train.schedulers import (
+            LayerWarmupScheduler, layer_warmup_mask,
+        )
+        from diffdock_tpu.train.trainer import make_optimizer
+
+        layer_warmup = LayerWarmupScheduler(
+            num_conv_layers=cfg.num_conv_layers,
+            warmup_dur=args.warmup_dur,
+            lr_start_factor=args.lr_start_factor,
+        )
+        warmup_tx = make_optimizer(tc)
+        print(f"layer_linear_warmup: frozen stages until epoch "
+              f"{layer_warmup.total_warmup_epochs}")
     for epoch in range(args.n_epochs):
         t0 = time.time()
+        if layer_warmup is not None:
+            stage, scale, changed = layer_warmup.epoch_update(epoch)
+            if changed:
+                # stage transition recreates the optimizer
+                # (reference utils/utils.py:152-153)
+                state = state.replace(
+                    param_mask=layer_warmup_mask(
+                        state.params, stage, cfg.num_conv_layers
+                    ),
+                    opt_state=warmup_tx.init(state.params),
+                )
+                print(f"  warmup stage {stage}")
+            if epoch <= layer_warmup.total_warmup_epochs:
+                state = state.replace(
+                    lr_scale=jnp.asarray(scale, jnp.float32)
+                )
         losses = []
         for names, batch in batches(epoch):
             try:
@@ -301,7 +340,11 @@ def main(argv=None):
                 print(f"  val loss {mean_loss:.4f} "
                       f"({len(val_losses)} batches)")
 
-        if plateau is not None:
+        in_warmup = (layer_warmup is not None
+                     and epoch <= layer_warmup.total_warmup_epochs)
+        if plateau is not None and not in_warmup:
+            # plateau control takes over only after the warmup stages
+            # (reference train.py:134-139)
             prev_scale = plateau.scale
             plateau.step(mean_loss)
             if plateau.scale != prev_scale:
@@ -356,6 +399,27 @@ def main(argv=None):
                     cfg, extra={"epoch": epoch, "valinf_min_rmsds_lt2": m},
                     weights_name="best_ema_inference_epoch_model.msgpack",
                 )
+                # non-EMA flavor (reference train.py:108-112)
+                save_checkpoint(
+                    args.log_dir,
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    cfg, extra={"epoch": epoch, "valinf_min_rmsds_lt2": m},
+                    weights_name="best_inference_epoch_model.msgpack",
+                )
+            if args.inference_secondary_metric:
+                # secondary-metric flavor (reference train.py:117-122)
+                m2 = metrics_inf.get(args.inference_secondary_metric, -1.0)
+                if m2 > best_secondary:
+                    best_secondary = m2
+                    save_checkpoint(
+                        args.log_dir,
+                        {"params": state.ema_params,
+                         "batch_stats": state.batch_stats},
+                        cfg,
+                        extra={"epoch": epoch,
+                               args.inference_secondary_metric: m2},
+                        weights_name="best_ema_secondary_epoch_model.msgpack",
+                    )
 
         save_train_state(args.log_dir, state, cfg, extra={"epoch": epoch})
         save_checkpoint(
@@ -374,6 +438,13 @@ def main(argv=None):
                 {"params": state.ema_params, "batch_stats": state.batch_stats},
                 cfg, extra={"epoch": epoch, "loss": mean_loss},
                 weights_name="best_ema_model.msgpack",
+            )
+            # non-EMA best-by-val-loss (reference train.py:124-128)
+            save_checkpoint(
+                args.log_dir,
+                {"params": state.params, "batch_stats": state.batch_stats},
+                cfg, extra={"epoch": epoch, "loss": mean_loss},
+                weights_name="best_model.msgpack",
             )
     with open(os.path.join(args.log_dir, "history.json"), "w") as f:
         json.dump(history, f)

@@ -48,6 +48,10 @@ def compute_metric_table(
     out["min_rmsds_below_2"] = float((best < 2.0).mean() * 100)
     out["min_rmsds_below_5"] = float((best < 5.0).mean() * 100)
 
+    out["mean_rmsd"] = float(rmsds.mean())
+    for q in (25, 50, 75):
+        out[f"rmsds_percentile_{q}"] = float(np.percentile(top1, q))
+
     if centroid_distances is not None:
         cd = np.asarray(centroid_distances)[:, 0]
         out["centroid_below_2"] = float((cd < 2.0).mean() * 100)
@@ -56,6 +60,33 @@ def compute_metric_table(
     if run_times is not None:
         out["run_times_mean"] = float(np.mean(run_times))
         out["run_times_std"] = float(np.std(run_times))
+    return out
+
+
+def gnina_metric_table(
+    gnina_rmsds: np.ndarray, gnina_scores: np.ndarray
+) -> Dict[str, float]:
+    """gnina rescoring columns (reference ``evaluate.py:609-625``):
+    pooled and min-over-optimized-poses hit rates, plus the hit rate of the
+    single pose the CNNscore ranks best ('filtered')."""
+    gnina_rmsds = np.asarray(gnina_rmsds)
+    gnina_scores = np.asarray(gnina_scores)
+    n, k = gnina_rmsds.shape
+    order = np.argsort(-gnina_scores, axis=1)
+    filtered = gnina_rmsds[np.arange(n)[:, None], order][:, 0]
+    out = {
+        "gnina_rmsds_below_2": float((gnina_rmsds < 2).sum() * 100 / (n * k)),
+        "gnina_rmsds_below_5": float((gnina_rmsds < 5).sum() * 100 / (n * k)),
+        "gnina_min_rmsds_below_2": float(
+            (gnina_rmsds.min(axis=1) < 2).mean() * 100),
+        "gnina_min_rmsds_below_5": float(
+            (gnina_rmsds.min(axis=1) < 5).mean() * 100),
+        "gnina_filtered_rmsds_below_2": float((filtered < 2).mean() * 100),
+        "gnina_filtered_rmsds_below_5": float((filtered < 5).mean() * 100),
+    }
+    for q in (25, 50, 75):
+        out[f"gnina_rmsds_percentile_{q}"] = float(
+            np.percentile(gnina_rmsds, q))
     return out
 
 

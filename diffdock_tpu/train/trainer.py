@@ -66,6 +66,10 @@ class TrainState(flax.struct.PyTreeNode):
     lr_scale: jnp.ndarray = flax.struct.field(
         default_factory=lambda: jnp.ones((), jnp.float32)
     )
+    # optional 0/1 scalar-per-leaf pytree gating Adam updates — the
+    # layer_linear_warmup progressive unfreezing (see train/schedulers.py;
+    # reference utils/utils.py:131-169). None = everything trains.
+    param_mask: Any = None
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -240,6 +244,10 @@ def make_train_step(
             grads, state.opt_state, state.params
         )
         updates = jax.tree.map(lambda u: u * state.lr_scale, updates)
+        if state.param_mask is not None:
+            updates = jax.tree.map(
+                lambda u, m: u * m, updates, state.param_mask
+            )
         new_params = optax.apply_updates(state.params, updates)
         rate = train_cfg.ema_rate
         new_ema = jax.tree.map(

@@ -38,6 +38,98 @@ def test_evaluate_pdbbind_mode(tmp_path):
     assert rmsds.shape == (1, 2) and np.isfinite(rmsds).all()
 
 
+def test_evaluate_posebusters_mode_with_gnina(tmp_path):
+    """Posebusters layout ({name}_protein.pdb, {name}_ligand.sdf,
+    alternative GTs in {name}_ligands.sdf) + gnina rescoring via a fake
+    binary (reference evaluate.py:36-87,434-472)."""
+    root = tmp_path / "pb" / "6w70"
+    root.mkdir(parents=True)
+    shutil.copy(EXAMPLE_PDB, root / "6w70_protein.pdb")
+    shutil.copy(EXAMPLE_SDF, root / "6w70_ligand.sdf")
+    # two alternative ground truths: the original + a translated copy
+    from diffdock_tpu.data.chem import write_sdf
+
+    mol = read_molecule_file(EXAMPLE_SDF)
+    (root / "6w70_ligands.sdf").write_text(
+        write_sdf(mol) + write_sdf(mol, mol.coords + 1.5)
+    )
+
+    fake_gnina = tmp_path / "gnina"
+    fake_gnina.write_text(
+        "#!/bin/bash\n"
+        'lig=""; out=""\n'
+        "while [ $# -gt 0 ]; do\n"
+        '  case $1 in --ligand|-l) lig=$2; shift;; -o) out=$2; shift;;\n'
+        "  esac; shift\n"
+        "done\n"
+        "awk '/^\\$\\$\\$\\$/{print \"> <CNNscore>\"; print \"0.73\";"
+        " print \"\"} {print}' \"$lig\" > \"$out\"\n"
+    )
+    fake_gnina.chmod(0o755)
+
+    from diffdock_tpu.cli.evaluate import main
+
+    out = tmp_path / "eval"
+    rc = main([
+        "--data_dir", str(tmp_path / "pb"), "--dataset", "posebusters",
+        "--out_dir", str(out),
+        "--cache_path", str(tmp_path / "cache"),
+        "--samples_per_complex", "2",
+        "--inference_steps", "2", "--actual_steps", "2",
+        "--model_preset", "diffdock_s",
+        "--compute_dtype", "float32",
+        "--gnina_minimize", "--gnina_path", str(fake_gnina),
+        "--gnina_poses_to_optimize", "2",
+    ])
+    assert rc == 0
+    table = json.loads((out / "metrics.json").read_text())
+    assert "gnina_rmsds_below_2" in table
+    assert "gnina_filtered_rmsds_below_2" in table
+    g_scores = np.load(out / "gnina_scores.npy")
+    assert g_scores.shape == (1, 2) and np.allclose(g_scores, 0.73)
+    g_rmsds = np.load(out / "gnina_rmsds.npy")
+    assert g_rmsds.shape == (1, 2) and np.isfinite(g_rmsds).all()
+
+
+def test_dock_with_retry_halves_pose_chunks():
+    """Batch-halving recovery (reference evaluate.py:523-527): a pipeline
+    that OOMs above 2 poses still returns the full pose count."""
+    from diffdock_tpu.cli.evaluate import dock_with_retry
+
+    class FakeResult:
+        def __init__(self, n, seed):
+            self.poses = np.full((n, 3, 3), float(seed))
+            self.confidence = np.arange(n, dtype=float) + seed
+            self.order = np.argsort(-self.confidence)
+
+    class FakePipeline:
+        calls = []
+
+        def dock_complex(self, data, num_poses, seed):
+            self.calls.append(num_poses)
+            if num_poses > 2:
+                raise RuntimeError("RESOURCE_EXHAUSTED")
+            return FakeResult(num_poses, seed)
+
+    result = dock_with_retry(FakePipeline(), None, 8, seed=0, max_retries=4)
+    assert result.poses.shape == (8, 3, 3)
+    assert result.confidence.shape == (8,)
+    # order is a valid permutation sorted by confidence desc
+    c = result.confidence[result.order]
+    assert (np.diff(c) <= 0).all()
+
+
+def test_dock_with_retry_exhausted_raises():
+    from diffdock_tpu.cli.evaluate import dock_with_retry
+
+    class AlwaysFails:
+        def dock_complex(self, data, num_poses, seed):
+            raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError):
+        dock_with_retry(AlwaysFails(), None, 4, seed=0, max_retries=3)
+
+
 def test_evaluate_moad_mode(tmp_path):
     moad = tmp_path / "moad"
     (moad / "pdb_protein").mkdir(parents=True)
