@@ -18,6 +18,8 @@ SO3_SMALL = SO3Config(n_eps=64, x_n=256, l_max=512)
 TORUS_SMALL = TorusConfig(x_n=256, sigma_n=128, mc_samples=2000)
 
 
+pytestmark = pytest.mark.slow  # compile-heavy e2e
+
 @pytest.fixture(scope="module")
 def setup():
     cfg = ScoreModelConfig(ns=8, nv=2, num_conv_layers=2, num_prot_emb_layers=1)

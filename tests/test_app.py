@@ -12,6 +12,8 @@ EXAMPLE_PDB = "/root/reference/examples/6w70.pdb"
 EXAMPLE_SDF = "/root/reference/examples/6w70_ligand.sdf"
 
 
+pytestmark = pytest.mark.slow  # compile-heavy e2e
+
 @pytest.fixture(scope="module")
 def server(tmp_path_factory):
     from diffdock_tpu.app.server import DockingService, get_parser, make_handler
@@ -61,7 +63,9 @@ def test_submit_and_complete_job(server):
     assert resp.status == 200  # after 303 redirect to /
     (job_id,) = list(service.jobs)
 
-    deadline = time.time() + 600
+    # CPU compile of the full pipeline (score fwd + sampler scan) can take
+    # >10 min after the round-2 feature additions; generous wall here.
+    deadline = time.time() + 1800
     while time.time() < deadline:
         status = json.loads(
             urllib.request.urlopen(base + f"/status/{job_id}").read()

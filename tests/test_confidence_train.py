@@ -6,6 +6,8 @@ import pytest
 from diffdock_tpu.train.confidence import ConfidenceTrainConfig
 
 
+pytestmark = pytest.mark.slow  # compile-heavy e2e
+
 def test_label_modes():
     rmsds = np.array([0.5, 1.5, 3.0, 7.0])
     bce = ConfidenceTrainConfig(rmsd_classification_cutoff=(2.0,))

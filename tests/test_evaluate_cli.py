@@ -13,6 +13,8 @@ EXAMPLE_PDB = "/root/reference/examples/6w70.pdb"
 EXAMPLE_SDF = "/root/reference/examples/6w70_ligand.sdf"
 
 
+pytestmark = pytest.mark.slow  # compile-heavy e2e
+
 def test_evaluate_pdbbind_mode(tmp_path):
     root = tmp_path / "pdbbind" / "6w70"
     root.mkdir(parents=True)

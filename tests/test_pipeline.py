@@ -19,6 +19,8 @@ SO3_SMALL = SO3Config(n_eps=64, x_n=256, l_max=512)
 TORUS_SMALL = TorusConfig(x_n=256, sigma_n=128, mc_samples=2000)
 
 
+pytestmark = pytest.mark.slow  # compile-heavy e2e
+
 @pytest.fixture(scope="module")
 def setup():
     so3 = get_so3_tables(SO3_SMALL)

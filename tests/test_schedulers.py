@@ -112,6 +112,7 @@ def test_masked_train_step_freezes_params():
     assert float(flat_mask[head_path]) == 1.0
 
 
+@pytest.mark.slow
 def test_train_cli_layer_linear_warmup(tmp_path):
     from diffdock_tpu.cli.train import main
 

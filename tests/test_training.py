@@ -98,6 +98,7 @@ def test_train_step_runs_and_updates(setup):
     assert max(jax.tree.leaves(diff)) > 0
 
 
+@pytest.mark.slow
 def test_overfit_fixed_sample(setup):
     """Gradient path check: with a FIXED noisy sample, Adam must drive the
     score-matching loss down decisively."""
@@ -230,6 +231,7 @@ def test_sigma_interval_metrics(setup):
     assert np.isnan(vals[counts == 0]).all()
 
 
+@pytest.mark.slow
 def test_train_cli_pretrain_and_fallback(tmp_path):
     """--pretrain_dir loads weights only; --restart_dir falls back to
     weights when the full train state is missing."""
@@ -273,6 +275,7 @@ def test_eval_step_and_val_loss(setup, tmp_path):
     assert float(m["loss"]) == float(m2["loss"])
 
 
+@pytest.mark.slow
 def test_train_cli_with_val_split(tmp_path):
     import shutil
 
