@@ -49,6 +49,9 @@ def get_parser():
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    from diffdock_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     import jax
     import jax.numpy as jnp

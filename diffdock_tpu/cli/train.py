@@ -103,6 +103,9 @@ def build_dataset(args):
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    from diffdock_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     if args.config:
         import yaml
 

@@ -76,6 +76,11 @@ class DockingPipeline:
         None and the score config sets crop_beyond, a conservative radius
         covering every reachable per-step crop is derived automatically."""
         assert not score_cfg.all_atoms, "score model is coarse-grained"
+        from diffdock_tpu.utils.compile_cache import enable_persistent_cache
+
+        # per-bucket compiles are minutes; make repeats (across processes
+        # and eval sweeps) disk loads instead
+        enable_persistent_cache()
         if pre_crop_radius is None and score_cfg.crop_beyond is not None:
             pre_crop_radius = (
                 3.0 * score_cfg.sigma.tr_sigma_max
@@ -135,6 +140,13 @@ class DockingPipeline:
                     kw["rec_keep"] = rec_keep_mask(
                         data.rec_pos, data.rec_mask, poses, data.lig_mask,
                         3.0 * tr_sigma + scfg.crop_beyond,
+                    )
+                elif cache is not None:
+                    # layer-0 rec<-rec messages are pose-independent:
+                    # compute once per step, share across the pose vmap
+                    kw["step_cache"] = self.score_model.apply(
+                        self.score_params, data, t, cache,
+                        method="step_cache",
                     )
                 return jax.vmap(
                     lambda p: self.score_model.apply(

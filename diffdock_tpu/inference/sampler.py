@@ -61,7 +61,11 @@ class SamplerConfig:
 
     @property
     def num_steps(self) -> int:
-        return self.actual_steps or self.inference_steps
+        # actual_steps caps how many of the schedule's steps run (the
+        # shipped recipe is 19 of 20); it can never exceed the schedule
+        # length, so a user shortening --inference_steps alone still works
+        return min(self.actual_steps or self.inference_steps,
+                   self.inference_steps)
 
 
 def randomize_position(

@@ -333,6 +333,53 @@ class CGScoreModel(nn.Module):
         return RecCache(node_attr=node_attr, edge_attr=edge_attr,
                         edge_sh=edge_sh, edge_weight=edge_weight)
 
+    def _rec_rec_block(self, data, rec_node_attr, rec_edge_attr_base,
+                       rec_cache) -> NeighborBlock:
+        ns = self.cfg.ns
+        recv = jnp.broadcast_to(
+            rec_node_attr[:, None, :ns],
+            rec_edge_attr_base.shape[:2] + (ns,),
+        )
+        send = rec_node_attr[data.rec_nbr][..., :ns]
+        return NeighborBlock(
+            sender_attr=rec_node_attr, nbr_idx=data.rec_nbr,
+            nbr_mask=data.rec_nbr_mask,
+            edge_attr=jnp.concatenate(
+                [rec_edge_attr_base, recv, send], axis=-1
+            ),
+            edge_sh=rec_cache.edge_sh,
+            edge_weight=rec_cache.edge_weight,
+        )
+
+    def step_cache(self, data: ComplexData, t: jnp.ndarray,
+                   rec_cache: RecCache, train: bool = False):
+        """Pose-independent per-(complex, step) precompute: the joint
+        layer-0 rec<-rec factored message. At layer 0 receptor features
+        depend only on the cached embedding + sigma, so this message is
+        identical for every pose replica — compute it once per step
+        (R=NR) instead of once per pose (R=poses*NR) under vmap. Returns
+        (summed_messages, counts) for ``__call__(step_cache=...)``, or
+        None when there is no non-last joint layer (or non-factored conv).
+        """
+        cfg = self.cfg
+        if (cfg.num_conv_layers <= 1 or not cfg.factored_tp
+                or cfg.depthwise_convolution):
+            return None
+        ns = cfg.ns
+        t = jnp.asarray(t, jnp.float32)
+        sigma_emb = self.timestep_emb(t[None])[0]
+        rec_sigma = self.rec_sigma_embedding(sigma_emb[None], train=train)[0]
+        rec_node_attr = rec_cache.node_attr.at[:, :ns].add(rec_sigma)
+        rec_edge_attr_base = rec_cache.edge_attr + rec_sigma
+        block = self._rec_rec_block(
+            data, rec_node_attr, rec_edge_attr_base, rec_cache
+        )
+        (part,) = self.conv_layers[0](
+            None, None, [], (), [block], (2,), None, None,
+            train=train, rec_message_only=True,
+        )
+        return part
+
     # ------------------------------------------------------------------
     # ligand embedding (per step: positions and sigma change)
     # ------------------------------------------------------------------
@@ -437,7 +484,11 @@ class CGScoreModel(nn.Module):
         rec_cache: Optional[RecCache] = None,
         train: bool = False,
         rec_keep: Optional[jnp.ndarray] = None,
+        step_cache=None,
     ):
+        """``step_cache``: optional precomputed layer-0 rec<-rec message
+        from :meth:`step_cache` (pose-independent; computed once per step
+        outside the pose vmap)."""
         cfg = self.cfg
         ns = cfg.ns
         nl, nr = lig_pos.shape[0], data.rec_pos.shape[0]
@@ -517,21 +568,8 @@ class CGScoreModel(nn.Module):
             lig_blocks = [bond_block, radius_block, lig_cross_block]
             lig_groups = (0, 0, 1)
 
+            rec_extra = None
             if li < len(self.conv_layers) - 1:
-                recv = jnp.broadcast_to(
-                    rec_node_attr[:, None, :ns],
-                    rec_edge_attr_base.shape[:2] + (ns,),
-                )
-                send = rec_node_attr[data.rec_nbr][..., :ns]
-                rec_rec_block = NeighborBlock(
-                    sender_attr=rec_node_attr, nbr_idx=data.rec_nbr,
-                    nbr_mask=data.rec_nbr_mask,
-                    edge_attr=jnp.concatenate(
-                        [rec_edge_attr_base, recv, send], axis=-1
-                    ),
-                    edge_sh=rec_cache.edge_sh,
-                    edge_weight=rec_cache.edge_weight,
-                )
                 rec_cross_block = NeighborBlock(
                     sender_attr=lig_node_attr, nbr_idx=lig_idx_all,
                     nbr_mask=jnp.swapaxes(cmask, 0, 1),
@@ -541,15 +579,25 @@ class CGScoreModel(nn.Module):
                     ),
                     edge_sh=rev_cross_sh, edge_weight=rev_cross_w,
                 )
-                rec_blocks = [rec_rec_block, rec_cross_block]
-                rec_groups = (2, 3)
+                if li == 0 and step_cache is not None:
+                    # layer-0 rec<-rec messages precomputed once per step
+                    # (pose-independent); only the per-pose cross part runs
+                    rec_blocks = [rec_cross_block]
+                    rec_groups = (3,)
+                    rec_extra = step_cache
+                else:
+                    rec_rec_block = self._rec_rec_block(
+                        data, rec_node_attr, rec_edge_attr_base, rec_cache
+                    )
+                    rec_blocks = [rec_rec_block, rec_cross_block]
+                    rec_groups = (2, 3)
             else:
                 rec_blocks, rec_groups = [], ()
 
             lig_node_attr, rec_node_attr = layer(
                 lig_node_attr, rec_node_attr, lig_blocks, lig_groups,
                 rec_blocks, rec_groups, data.lig_mask, data.rec_mask,
-                train=train,
+                train=train, rec_extra=rec_extra,
             )
 
         if cfg.confidence_mode:

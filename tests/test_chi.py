@@ -39,8 +39,12 @@ def test_side_chain_vecs_shape_and_backbone():
     scv = side_chain_vecs(protein)
     n = len(protein.residues_with_ca())
     assert scv.shape == (n, 10)
-    # chi components normalized to [0, 1)
-    assert (scv[:, :MAX_CHI] >= 0).all() and (scv[:, :MAX_CHI] < 1).all()
+    # defined chi components normalized to [0, 1); undefined ones are NaN
+    # (reference utils/training.py:95-97 masks them by isnan in the aux loss)
+    chi = scv[:, :MAX_CHI]
+    defined = np.isfinite(chi)
+    assert defined[:, 0].any() and not defined.all()
+    assert (chi[defined] >= 0).all() and (chi[defined] < 1).all()
     # N-CA distances are ~1.46 A
     n_rel = np.linalg.norm(scv[:, 4:7], axis=1)
     valid = n_rel > 0

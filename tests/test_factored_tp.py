@@ -86,3 +86,38 @@ def test_full_model_factored_equals_naive():
     np.testing.assert_allclose(np.asarray(out_f.tr), np.asarray(out_n.tr), atol=2e-4)
     np.testing.assert_allclose(np.asarray(out_f.rot), np.asarray(out_n.rot), atol=2e-4)
     np.testing.assert_allclose(np.asarray(out_f.tor), np.asarray(out_n.tor), atol=2e-4)
+
+
+def test_merged_equals_per_class():
+    """The merged-class reduction layout must match the per-class loop."""
+    from diffdock_tpu.models.encoders import FCBlock
+    from diffdock_tpu.models.tpconv import _tp_message_reduced
+    from diffdock_tpu.ops.irreps import Irreps
+    from diffdock_tpu.ops.tensor_product import FullyConnectedTensorProduct
+
+    in_irreps = "6x0e + 3x1o + 3x1e + 6x0o"
+    sh = str(Irreps.spherical_harmonics(2))
+    tp = FullyConnectedTensorProduct(in_irreps, sh, in_irreps)
+    blk = _random_block(20, 14, 6, Irreps(in_irreps).dim, 8, Irreps(sh).dim,
+                        with_weight=True)
+
+    class Wrap:
+        """FCBlock-compatible shim with fixed hidden/out params."""
+
+        def __init__(self, rng, e_dim, hidden, out_dim):
+            self.w1 = jnp.asarray(rng.randn(e_dim, hidden) * 0.3, jnp.float32)
+            self.out_kernel = jnp.asarray(
+                rng.randn(hidden, out_dim) * 0.1, jnp.float32
+            )
+            self.out_bias = jnp.asarray(rng.randn(out_dim) * 0.1, jnp.float32)
+
+        def hidden(self, x, train=False):
+            return jax.nn.relu(x @ self.w1)
+
+    fc = Wrap(RNG, 8, 12, tp.weight_numel)
+    out_m, cnt_m = _tp_message_reduced(tp, fc, blk, False, merged=True)
+    out_c, cnt_c = _tp_message_reduced(tp, fc, blk, False, merged=False)
+    np.testing.assert_allclose(np.asarray(cnt_m), np.asarray(cnt_c))
+    np.testing.assert_allclose(
+        np.asarray(out_m), np.asarray(out_c), rtol=2e-5, atol=2e-5
+    )

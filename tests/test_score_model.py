@@ -194,3 +194,29 @@ def test_atom_confidence_head(setup):
     assert out.shape == (1,)
     assert atom_conf.shape == (data.lig_pos.shape[0], 1)
     assert np.isfinite(np.asarray(atom_conf)).all()
+
+
+def test_step_cache_equivalence(setup):
+    """Forward with the pose-shared layer-0 rec<-rec precompute must equal
+    the plain forward (it is an exact hoist, not an approximation)."""
+    cfg, model, data, so3, torus, params = setup
+    t = jnp.asarray(0.5)
+    cache = model.apply(params, data, method="embed_receptor")
+    sc = model.apply(params, data, t, cache, method="step_cache")
+    assert sc is not None
+    out_plain = model.apply(
+        params, data, data.lig_pos, t, so3, torus, rec_cache=cache
+    )
+    out_sc = model.apply(
+        params, data, data.lig_pos, t, so3, torus, rec_cache=cache,
+        step_cache=sc,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sc.tr), np.asarray(out_plain.tr), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sc.rot), np.asarray(out_plain.rot), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sc.tor), np.asarray(out_plain.tor), rtol=1e-5, atol=1e-5
+    )
