@@ -52,6 +52,15 @@ def get_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"],
                    help="conv-layer compute dtype (bf16 validated to match "
                         "fp32 docking RMSDs; 1.43x faster on TPU)")
+    p.add_argument("--crop_beyond", type=float, default=None,
+                   help="sigma-dependent receptor crop radius per step "
+                        "(reference crop_beyond, utils/utils.py:388-413); "
+                        "overrides the model config when given")
+    p.add_argument("--pocket_capacity", type=int, default=None,
+                   help="with crop_beyond: per-step gather-compaction of "
+                        "the receptor to this many nearest residues (dense "
+                        "blocks shrink; big-receptor speed/memory win). "
+                        "Default keeps exact masking.")
     return p
 
 
@@ -103,6 +112,10 @@ def load_pipeline(args):
         import dataclasses
 
         cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype)
+    if args.crop_beyond is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, crop_beyond=args.crop_beyond)
 
     conf_cfg = conf_params = None
     if args.confidence_model_dir:
@@ -114,6 +127,7 @@ def load_pipeline(args):
         sampler_cfg=sampler_cfg,
         confidence_cfg=conf_cfg,
         confidence_params=conf_params,
+        pocket_capacity=args.pocket_capacity,
     )
 
 

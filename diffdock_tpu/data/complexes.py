@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -235,6 +236,57 @@ def rec_keep_mask(rec_pos, rec_mask, poses, lig_mask, cutoff):
     d2 = ((flat[:, None, :] - rec_pos[None, :, :]) ** 2).sum(-1)
     within = (d2 < cutoff**2) & lmask[:, None]
     return within.any(axis=0) & rec_mask
+
+
+def pocket_indices(rec_pos, rec_mask, poses, lig_mask, cutoff, capacity):
+    """Indices of the ``capacity`` receptor residues nearest any ligand
+    atom of any pose, plus a validity mask (residue real AND within
+    ``cutoff``). jit-friendly (static ``capacity``); the compaction
+    counterpart of :func:`rec_keep_mask` for :func:`compact_receptor`."""
+    poses = jnp.asarray(poses)
+    flat = poses.reshape(-1, poses.shape[-1])
+    lmask = jnp.broadcast_to(lig_mask, poses.shape[:-1]).reshape(-1)
+    d2 = ((flat[:, None, :] - rec_pos[None, :, :]) ** 2).sum(-1)
+    d2 = jnp.where(lmask[:, None], d2, jnp.inf)
+    mind2 = jnp.where(rec_mask, d2.min(axis=0), jnp.inf)  # (NR,)
+    neg, idx = jax.lax.top_k(-mind2, capacity)
+    valid = (-neg) < cutoff**2
+    return idx.astype(jnp.int32), valid
+
+
+def compact_receptor(data: ComplexData, idx: jnp.ndarray,
+                     valid: jnp.ndarray) -> ComplexData:
+    """In-jit receptor compaction to a fixed pocket capacity: the gather
+    realization of the reference's ``crop_beyond`` (utils/utils.py:388-413)
+    that actually SHRINKS the dense blocks (masking via
+    :func:`apply_rec_keep` keeps their padded extent). Receptor neighbor
+    lists are remapped into pocket-local indexing; edges to dropped
+    residues are masked off — identical semantics to the reference's PyG
+    ``subgraph`` filter. ``idx``/``valid`` from :func:`pocket_indices`."""
+    nr = data.rec_mask.shape[0]
+    cap = idx.shape[0]
+    inv = jnp.full((nr,), -1, jnp.int32).at[idx].set(
+        jnp.arange(cap, dtype=jnp.int32)
+    )
+    nbr_g = data.rec_nbr[idx]  # (cap, KR) global indices
+    nbr_local = inv[nbr_g]
+    nbr_mask = (
+        data.rec_nbr_mask[idx]
+        & (nbr_local >= 0)
+        & valid[:, None]
+    )
+    # dropped neighbors may map to -1; point them at 0 (masked anyway)
+    nbr_local = jnp.maximum(nbr_local, 0)
+    nbr_mask = nbr_mask & valid[nbr_local]
+    return data._replace(
+        rec_cat=data.rec_cat[idx],
+        rec_lm=data.rec_lm[idx],
+        rec_mask=data.rec_mask[idx] & valid,
+        rec_pos=data.rec_pos[idx],
+        rec_nbr=nbr_local,
+        rec_nbr_mask=nbr_mask,
+        rec_scv=None if data.rec_scv is None else data.rec_scv[idx],
+    )
 
 
 def crop_complex(data: ComplexData, keep: np.ndarray) -> ComplexData:

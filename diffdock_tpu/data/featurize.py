@@ -297,7 +297,7 @@ def join_complex_arrays(lig: dict, rec: dict):
         rec_nbr=rec["rec_nbr"],
         rec_nbr_mask=rec["rec_nbr_mask"],
         original_center=rec["original_center"],
-        rec_scv=rec["side_chain_vecs"],
+        rec_scv=rec.get("side_chain_vecs"),
     )
 
 

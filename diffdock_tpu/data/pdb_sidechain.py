@@ -258,6 +258,7 @@ class PDBSidechainDataset:
             rec_pos, cfg.c_alpha_max_neighbors
         )
         new_center = arrays["original_center"] + extra
+        scv = arrays.get("side_chain_vecs")
         rec = dict(
             rec_cat=arrays["rec_cat"][keep],
             rec_lm=arrays["rec_lm"][keep],
@@ -266,6 +267,7 @@ class PDBSidechainDataset:
             rec_nbr=rec_nbr,
             rec_nbr_mask=rec_nbr_mask,
             original_center=new_center.astype(np.float32),
+            side_chain_vecs=None if scv is None else scv[keep],
         )
         lig, _ = build_ligand_arrays(mol, remove_hs=False)
         return f"{name}_sc{sc_idx}", join_complex_arrays(lig, rec)

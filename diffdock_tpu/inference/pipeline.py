@@ -23,10 +23,12 @@ from diffdock_tpu.data.complexes import (
     AAComplexData,
     ComplexData,
     bucket_sizes,
+    compact_receptor,
     crop_aa_complex,
     crop_complex,
     pad_aa_to,
     pad_to,
+    pocket_indices,
     rec_keep_mask,
 )
 from diffdock_tpu.diffusion.schedules import t_to_sigma
@@ -68,6 +70,7 @@ class DockingPipeline:
         so3_tables: Optional[SO3Tables] = None,
         torus_tables: Optional[TorusTables] = None,
         pre_crop_radius: Optional[float] = None,
+        pocket_capacity: Optional[int] = None,
     ):
         """``pre_crop_radius``: host-side receptor shrink before padding —
         drops residues farther than this from any input-ligand atom so large
@@ -89,6 +92,10 @@ class DockingPipeline:
                 + 10.0
             )
         self.pre_crop_radius = pre_crop_radius
+        # with crop_beyond set, compact the receptor to this many nearest
+        # residues per step (gather; the dense blocks actually SHRINK)
+        # instead of only masking. None keeps the exact masking crop.
+        self.pocket_capacity = pocket_capacity
         self.score_cfg = score_cfg
         self.score_model = build_model(score_cfg)
         self.score_params = score_params
@@ -137,9 +144,27 @@ class DockingPipeline:
                     # reference sampling.py:104-109: crop at 3*tr_sigma +
                     # crop_beyond, unioned over the pose batch
                     tr_sigma, _, _ = t_to_sigma(t, t, t, scfg.sigma)
+                    cutoff = 3.0 * tr_sigma + scfg.crop_beyond
+                    if self.pocket_capacity is not None:
+                        # gather-compaction: the dense blocks shrink to the
+                        # pocket capacity (vs masking, which only zeroes)
+                        cap = min(
+                            self.pocket_capacity, data.rec_mask.shape[0]
+                        )
+                        idx, valid = pocket_indices(
+                            data.rec_pos, data.rec_mask, poses,
+                            data.lig_mask, cutoff, cap,
+                        )
+                        pocket = compact_receptor(data, idx, valid)
+                        return jax.vmap(
+                            lambda p: self.score_model.apply(
+                                self.score_params, pocket, p, t,
+                                self.so3, self.torus,
+                            )
+                        )(poses)
                     kw["rec_keep"] = rec_keep_mask(
                         data.rec_pos, data.rec_mask, poses, data.lig_mask,
-                        3.0 * tr_sigma + scfg.crop_beyond,
+                        cutoff,
                     )
                 elif cache is not None:
                     # layer-0 rec<-rec messages are pose-independent:

@@ -157,3 +157,99 @@ def test_pipeline_crop_beyond_runs(tables):
     assert pipe.pre_crop_radius is not None
     res = pipe.dock_complex(raw, num_poses=2)
     assert np.isfinite(res.poses).all()
+
+
+def test_compact_receptor_equals_mask_crop(tables):
+    """In-jit pocket compaction (gather to fixed capacity) must match the
+    masking crop on the same keep set — receptor row order is irrelevant
+    to the model (all reductions are mask-aware and order-agnostic)."""
+    from diffdock_tpu.data.complexes import compact_receptor, pocket_indices
+
+    so3, torus = tables
+    model = CGScoreModel(CFG)
+    rng = np.random.RandomState(3)
+    raw = synthetic_complex(rng, n_lig=8, n_rec=24, n_bonds=2)
+    data = jax.tree.map(jnp.asarray, raw)
+    params = model.init(
+        jax.random.PRNGKey(0), data, data.lig_pos, jnp.asarray(0.5), so3, torus
+    )
+    cutoff = 12.0
+    capacity = 16
+    idx, valid = pocket_indices(
+        data.rec_pos, data.rec_mask, data.lig_pos[None], data.lig_mask,
+        cutoff, capacity,
+    )
+    keep = rec_keep_mask(
+        data.rec_pos, data.rec_mask, data.lig_pos[None], data.lig_mask,
+        cutoff,
+    )
+    n_keep = int(np.asarray(keep).sum())
+    assert 0 < n_keep <= capacity, "capacity must cover the keep set here"
+    assert int(np.asarray(valid).sum()) == n_keep
+    # same residue set
+    kept_global = set(np.asarray(idx)[np.asarray(valid)].tolist())
+    assert kept_global == set(np.flatnonzero(np.asarray(keep)).tolist())
+
+    out_mask = model.apply(
+        params, data, data.lig_pos, jnp.asarray(0.5), so3, torus,
+        rec_keep=keep,
+    )
+    pocket = compact_receptor(data, idx, valid)
+    assert pocket.rec_mask.shape[0] == capacity
+    out_pocket = model.apply(
+        params, pocket, data.lig_pos, jnp.asarray(0.5), so3, torus
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_mask.tr), np.asarray(out_pocket.tr), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_mask.rot), np.asarray(out_pocket.rot), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_mask.tor), np.asarray(out_pocket.tor), atol=2e-4
+    )
+
+
+def test_compact_receptor_capacity_overflow(tables):
+    """When more residues lie within the cutoff than capacity, the nearest
+    ones win (graceful degradation, like the reference's edge caps)."""
+    from diffdock_tpu.data.complexes import compact_receptor, pocket_indices
+
+    rng = np.random.RandomState(4)
+    raw = synthetic_complex(rng, n_lig=8, n_rec=24, n_bonds=2)
+    data = jax.tree.map(jnp.asarray, raw)
+    capacity = 4
+    idx, valid = pocket_indices(
+        data.rec_pos, data.rec_mask, data.lig_pos[None], data.lig_mask,
+        1e9, capacity,
+    )
+    assert bool(valid.all())
+    d2 = ((np.asarray(data.lig_pos)[:, None] -
+           np.asarray(data.rec_pos)[None]) ** 2).sum(-1).min(0)
+    d2[~np.asarray(data.rec_mask)] = np.inf
+    expect = set(np.argsort(d2)[:capacity].tolist())
+    assert set(np.asarray(idx).tolist()) == expect
+    pocket = compact_receptor(data, idx, valid)
+    assert int(np.asarray(pocket.rec_mask).sum()) == capacity
+
+
+def test_pipeline_pocket_capacity_runs(tables):
+    """Pipeline with crop_beyond + pocket compaction end-to-end."""
+    so3, torus = tables
+    from diffdock_tpu.inference.pipeline import DockingPipeline
+    from diffdock_tpu.inference.sampler import SamplerConfig
+
+    cfg = dataclasses.replace(CFG, crop_beyond=20.0)
+    model = CGScoreModel(cfg)
+    rng = np.random.RandomState(5)
+    raw = synthetic_complex(rng, n_lig=8, n_rec=16, n_bonds=2)
+    data = jax.tree.map(jnp.asarray, raw)
+    params = model.init(
+        jax.random.PRNGKey(5), data, data.lig_pos, jnp.asarray(0.5), so3, torus
+    )
+    pipe = DockingPipeline(
+        cfg, params, SamplerConfig(inference_steps=2, actual_steps=2),
+        so3_tables=so3, torus_tables=torus, pocket_capacity=12,
+    )
+    res = pipe.dock_complex(raw, num_poses=2)
+    assert np.isfinite(res.poses).all()
