@@ -34,6 +34,16 @@ def get_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("convert", help="esm-extract .pt dir -> per-complex .npy")
     c.add_argument("--extract_dir", required=True)
     c.add_argument("--out_dir", required=True)
+
+    h = sub.add_parser(
+        "convert-hf",
+        help="HF EsmModel checkpoint -> TPU-native npz (models/esm2.py); "
+             "set DIFFDOCK_TPU_ESM2_NPZ to the output to run the live LM "
+             "on TPU",
+    )
+    h.add_argument("--model", required=True,
+                   help="HF model name/dir (loaded local_files_only)")
+    h.add_argument("--out", required=True, help="output .npz path")
     return p
 
 
@@ -65,6 +75,21 @@ def main(argv=None) -> int:
     elif args.cmd == "convert":
         out = convert_esm_extract_dir(args.extract_dir, args.out_dir)
         print(f"converted {len(out)} complexes -> {args.out_dir}")
+    elif args.cmd == "convert-hf":
+        from transformers import EsmModel
+
+        from diffdock_tpu.models.esm2 import (
+            convert_hf_state_dict, save_params,
+        )
+
+        model = EsmModel.from_pretrained(args.model, local_files_only=True)
+        params = convert_hf_state_dict(
+            model.state_dict(), model.config.num_hidden_layers
+        )
+        save_params(params, args.out,
+                    num_heads=model.config.num_attention_heads)
+        print(f"converted {model.config.num_hidden_layers}-layer ESM2 "
+              f"-> {args.out}")
     return 0
 
 

@@ -193,14 +193,28 @@ class ESM2Embedder:
         return np.concatenate(parts, axis=0)
 
 
+def make_embedder(device: str = "cpu"):
+    """Best live-LM backend available: the TPU-native JAX ESM2 encoder when
+    a converted checkpoint is present (``DIFFDOCK_TPU_ESM2_NPZ``, produced
+    by ``cli/esm_prep.py convert-hf``), else the torch/transformers path
+    (``ESM2Embedder``). Raises RuntimeError when neither has weights."""
+    npz = os.environ.get("DIFFDOCK_TPU_ESM2_NPZ")
+    if npz and os.path.exists(npz):
+        from diffdock_tpu.models.esm2 import JaxESM2Embedder, load_params
+
+        params, cfg = load_params(npz)
+        return JaxESM2Embedder(params, cfg)
+    return ESM2Embedder(device=device)
+
+
 def compute_esm_embeddings_if_available(
     protein: ProteinStructure,
 ) -> Optional[np.ndarray]:
-    """Live ESM2 embeddings when the weights are in the local HF cache,
-    else None (callers decide the fallback — e.g. zero embeddings with a
-    warning in scripts/parity_eval.py)."""
+    """Live ESM2 embeddings when weights are available (converted-npz JAX
+    path or local HF cache), else None (callers decide the fallback — e.g.
+    zero embeddings with a warning in scripts/parity_eval.py)."""
     try:
-        embedder = ESM2Embedder()
+        embedder = make_embedder()
     except RuntimeError:
         return None
     return embedder.embed_protein(protein)
