@@ -55,6 +55,12 @@ def get_parser():
     p.add_argument("--gnina_autobox_add", type=float, default=4.0)
     p.add_argument("--gnina_poses_to_optimize", type=int, default=1)
     # failure handling (reference evaluate.py:523-540)
+    p.add_argument("--crop_beyond", type=float, default=None,
+                   help="sigma-dependent receptor crop radius per step "
+                        "(overrides the model config)")
+    p.add_argument("--pocket_capacity", type=int, default=None,
+                   help="with crop_beyond: gather-compact the receptor to "
+                        "this many nearest residues per step")
     p.add_argument("--max_retries", type=int, default=3,
                    help="dock retries with halved pose batches before a "
                         "complex is recorded as a penalty row")
@@ -117,6 +123,8 @@ def main(argv=None):
         no_final_step_noise=True, ode=False, no_random=False,
         initial_noise_std_proportion=1.4601642460337794,
         compute_dtype=args.compute_dtype,
+        crop_beyond=args.crop_beyond,
+        pocket_capacity=args.pocket_capacity,
     )
     pipeline = load_pipeline(dock_args)
 
