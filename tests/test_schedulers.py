@@ -129,3 +129,14 @@ def test_train_cli_layer_linear_warmup(tmp_path):
     for flavor in ("last_model", "last_ema_model", "best_model",
                    "best_ema_model"):
         assert (run / f"{flavor}.msgpack").exists(), flavor
+
+
+def test_sampler_num_steps_clamped_to_schedule():
+    """Shortening --inference_steps without --actual_steps must not produce
+    a scan length mismatch (regression: scan got 2, 2, 19)."""
+    from diffdock_tpu.inference.sampler import SamplerConfig
+
+    cfg = SamplerConfig(inference_steps=2)  # actual_steps default 19
+    assert cfg.num_steps == 2
+    assert SamplerConfig(inference_steps=20, actual_steps=19).num_steps == 19
+    assert SamplerConfig(inference_steps=20, actual_steps=None).num_steps == 20
