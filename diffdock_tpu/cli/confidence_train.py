@@ -217,6 +217,9 @@ def main(argv=None):
     names = list(datas.keys())
     rng_np = np.random.RandomState(args.seed)
     os.makedirs(args.log_dir, exist_ok=True)
+    from diffdock_tpu.utils.logging import MetricsWriter
+
+    metrics_log = MetricsWriter(os.path.join(args.log_dir, "metrics.jsonl"))
     for epoch in range(args.n_epochs):
         order = rng_np.permutation(len(names))
         losses, accs = [], []
@@ -250,6 +253,8 @@ def main(argv=None):
             "bce" if tcfg.num_outputs == 1 else "ce")
         print(f"epoch {epoch}: {kind} {np.mean(losses):.4f} "
               f"acc {np.mean(accs):.3f}")
+        metrics_log.log(epoch, "train", loss=float(np.mean(losses)),
+                        accuracy=float(np.mean(accs)), kind=kind)
         save_checkpoint(
             args.log_dir, {"params": params, "batch_stats": batch_stats},
             conf_cfg, extra={"epoch": epoch},

@@ -270,6 +270,9 @@ def main(argv=None):
     eval_step = jax.jit(make_eval_step(model, tc, so3, torus))
 
     os.makedirs(args.log_dir, exist_ok=True)
+    from diffdock_tpu.utils.logging import MetricsWriter
+
+    metrics_log = MetricsWriter(os.path.join(args.log_dir, "metrics.jsonl"))
     best_loss = float("inf")
     best_inf_metric = -1.0
     best_secondary = -1.0
@@ -328,6 +331,9 @@ def main(argv=None):
             f"epoch {epoch}: loss {mean_loss:.4f} "
             f"({len(losses)} steps, {time.time() - t0:.1f}s)"
         )
+        metrics_log.log(epoch, "train", loss=mean_loss, steps=len(losses),
+                        wall_s=time.time() - t0,
+                        lr_scale=float(state.lr_scale))
 
         # held-out validation loss (reference test_epoch + best-by-val-loss
         # selection, train.py:99-127)
@@ -342,6 +348,8 @@ def main(argv=None):
                 mean_loss = float(np.mean(val_losses))
                 print(f"  val loss {mean_loss:.4f} "
                       f"({len(val_losses)} batches)")
+                metrics_log.log(epoch, "val", loss=mean_loss,
+                                batches=len(val_losses))
 
         in_warmup = (layer_warmup is not None
                      and epoch <= layer_warmup.total_warmup_epochs)
@@ -393,6 +401,7 @@ def main(argv=None):
                 args.inference_samples, seed=epoch,
             )
             print(f"  val inference: {metrics_inf}")
+            metrics_log.log(epoch, "val_inference", **metrics_inf)
             m = metrics_inf.get("valinf_min_rmsds_lt2", -1.0)
             if m > best_inf_metric:
                 best_inf_metric = m

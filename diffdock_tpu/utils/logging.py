@@ -32,3 +32,38 @@ def add_file_handler(path: str, name: str = "diffdock_tpu") -> None:
     h = logging.FileHandler(path)
     h.setFormatter(logging.Formatter(_FMT))
     logger.addHandler(h)
+
+
+class MetricsWriter:
+    """Structured run metrics as JSON-lines (the wandb-equivalent artifact;
+    the reference logs to wandb when available, ``train.py:99-103``).
+
+    One record per event: ``{"step": int, "phase": str, **scalars}``.
+    Appends, flushes per write (crash-safe), and is a no-op when ``path``
+    is None so call sites need no guards.
+    """
+
+    def __init__(self, path: Optional[str] = None):
+        self._fh = None
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            self._fh = open(path, "a")
+
+    def log(self, step: int, phase: str, **scalars) -> None:
+        if self._fh is None:
+            return
+        import json
+
+        rec = {"step": int(step), "phase": phase}
+        for k, v in scalars.items():
+            try:
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                rec[k] = v
+        self._fh.write(json.dumps(rec) + "\n")
+        self._fh.flush()
+
+    def close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None

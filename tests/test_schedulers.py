@@ -140,3 +140,21 @@ def test_sampler_num_steps_clamped_to_schedule():
     assert cfg.num_steps == 2
     assert SamplerConfig(inference_steps=20, actual_steps=19).num_steps == 19
     assert SamplerConfig(inference_steps=20, actual_steps=None).num_steps == 20
+
+
+def test_metrics_writer(tmp_path):
+    import json
+
+    from diffdock_tpu.utils.logging import MetricsWriter
+
+    path = str(tmp_path / "run" / "metrics.jsonl")
+    w = MetricsWriter(path)
+    w.log(0, "train", loss=1.5, steps=10)
+    w.log(0, "val_inference", valinf_min_rmsds_lt2=0.25, note="ok")
+    w.close()
+    recs = [json.loads(l) for l in open(path)]
+    assert recs[0] == {"step": 0, "phase": "train", "loss": 1.5, "steps": 10.0}
+    assert recs[1]["valinf_min_rmsds_lt2"] == 0.25
+    assert recs[1]["note"] == "ok"
+    # no-op writer needs no guards
+    MetricsWriter(None).log(1, "train", loss=0.0)
