@@ -64,6 +64,12 @@ def get_parser():
     p.add_argument("--max_retries", type=int, default=3,
                    help="dock retries with halved pose batches before a "
                         "complex is recorded as a penalty row")
+    p.add_argument("--no_rec_overlap_names", default=None,
+                   help="file listing complexes whose receptor is unseen in "
+                        "the train set (one name per line); every metric is "
+                        "additionally reported restricted to those with a "
+                        "no_overlap_ prefix (reference evaluate.py:555-640, "
+                        "data/splits/timesplit_test_no_rec_overlap)")
     return p
 
 
@@ -208,6 +214,9 @@ def main(argv=None):
             centroid_rows.append(np.full(P, 10000.0))
             clash_rows.append(np.full(P, 10000.0))
             conf_rows.append(np.full(P, -10000.0))
+            # NaN sentinel keeps run_times.npy index-aligned with names.npy
+            # (excluded from runtime metrics below)
+            run_times.append(float("nan"))
             if args.gnina_minimize:
                 gnina_rmsd_rows.append(
                     np.full(args.gnina_poses_to_optimize, 10000.0))
@@ -275,35 +284,83 @@ def main(argv=None):
         print(f"[{name}] top-1 rmsd {rmsds[0]:.2f} A ({run_times[-1]:.1f}s)")
 
     print(f"{failures} failures due to exceptions")
-    os.makedirs(args.out_dir, exist_ok=True)
-    rmsds = np.asarray(rmsd_rows)
-    centroids = np.asarray(centroid_rows)
-    np.save(os.path.join(args.out_dir, "rmsds.npy"), rmsds)
-    np.save(os.path.join(args.out_dir, "centroid_distances.npy"), centroids)
-    np.save(os.path.join(args.out_dir, "run_times.npy"), np.asarray(run_times))
-    np.save(os.path.join(args.out_dir, "names.npy"), np.asarray(names))
-    np.save(os.path.join(args.out_dir, "confidences.npy"),
-            np.asarray(conf_rows))
-    np.save(os.path.join(args.out_dir, "min_self_distances.npy"),
-            np.asarray(clash_rows))
-
-    table = compute_metric_table(rmsds, centroids, np.asarray(run_times))
-    table["failures"] = failures
-    if clash_rows:
-        # steric clash proxy (reference evaluate.py:486-505)
-        table["steric_clash_fraction"] = float(
-            (np.asarray(clash_rows)[:, 0] < 0.4).mean() * 100
-        )
-    if args.gnina_minimize and gnina_rmsd_rows:
-        g_rmsds = np.asarray(gnina_rmsd_rows)
-        g_scores = np.asarray(gnina_score_rows)
-        np.save(os.path.join(args.out_dir, "gnina_rmsds.npy"), g_rmsds)
-        np.save(os.path.join(args.out_dir, "gnina_scores.npy"), g_scores)
-        table.update(gnina_metric_table(g_rmsds, g_scores))
-    with open(os.path.join(args.out_dir, "metrics.json"), "w") as f:
-        json.dump(table, f, indent=2)
+    table = emit_metric_tables(
+        args.out_dir, names, rmsd_rows, centroid_rows, run_times,
+        conf_rows, clash_rows, failures,
+        no_rec_overlap_names=args.no_rec_overlap_names,
+        gnina_rmsd_rows=gnina_rmsd_rows if args.gnina_minimize else None,
+        gnina_score_rows=gnina_score_rows if args.gnina_minimize else None,
+    )
     print(json.dumps(table, indent=2))
     return 0
+
+
+def emit_metric_tables(out_dir, names, rmsd_rows, centroid_rows, run_times,
+                       conf_rows, clash_rows, failures,
+                       no_rec_overlap_names=None,
+                       gnina_rmsd_rows=None, gnina_score_rows=None):
+    """Dump per-complex arrays + metrics.json; every metric is reported
+    twice — over all complexes, and restricted to receptors unseen in the
+    train set (``no_overlap_`` prefix), the generalization-honesty column
+    of the paper tables (reference ``evaluate.py:555-640``, names file
+    ``data/splits/timesplit_test_no_rec_overlap``)."""
+    from diffdock_tpu.eval.metrics import (
+        compute_metric_table, gnina_metric_table,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    names_arr = np.asarray(names)
+    all_rmsds = np.asarray(rmsd_rows)
+    all_centroids = np.asarray(centroid_rows)
+    all_run_times = np.asarray(run_times)
+    all_conf = np.asarray(conf_rows)
+    all_clash = np.asarray(clash_rows)
+
+    selections = [("", np.ones(len(names_arr), dtype=bool))]
+    if no_rec_overlap_names:
+        with open(no_rec_overlap_names) as f:
+            overlap_free = {ln.strip() for ln in f if ln.strip()}
+        sel = np.asarray([n in overlap_free for n in names], dtype=bool)
+        if sel.sum() == 0:
+            print("no_rec_overlap: no evaluated complex in names file, "
+                  "skipping split")
+        else:
+            selections.append(("no_overlap_", sel))
+
+    table = {}
+    for prefix, sel in selections:
+        rmsds = all_rmsds[sel]
+        centroids = all_centroids[sel]
+        rt = all_run_times[sel]
+        np.save(os.path.join(out_dir, f"{prefix}rmsds.npy"), rmsds)
+        np.save(os.path.join(out_dir, f"{prefix}centroid_distances.npy"),
+                centroids)
+        np.save(os.path.join(out_dir, f"{prefix}run_times.npy"), rt)
+        np.save(os.path.join(out_dir, f"{prefix}names.npy"), names_arr[sel])
+        np.save(os.path.join(out_dir, f"{prefix}confidences.npy"),
+                all_conf[sel])
+        np.save(os.path.join(out_dir, f"{prefix}min_self_distances.npy"),
+                all_clash[sel])
+
+        sub = compute_metric_table(rmsds, centroids, rt)
+        if len(all_clash):
+            # steric clash proxy (reference evaluate.py:486-505)
+            sub["steric_clash_fraction"] = float(
+                (all_clash[sel][:, 0] < 0.4).mean() * 100
+            )
+        if gnina_rmsd_rows is not None and len(gnina_rmsd_rows):
+            g_rmsds = np.asarray(gnina_rmsd_rows)[sel]
+            g_scores = np.asarray(gnina_score_rows)[sel]
+            np.save(os.path.join(out_dir, f"{prefix}gnina_rmsds.npy"),
+                    g_rmsds)
+            np.save(os.path.join(out_dir, f"{prefix}gnina_scores.npy"),
+                    g_scores)
+            sub.update(gnina_metric_table(g_rmsds, g_scores))
+        table.update({prefix + k: v for k, v in sub.items()})
+    table["failures"] = failures
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(table, f, indent=2)
+    return table
 
 
 if __name__ == "__main__":

@@ -309,7 +309,18 @@ def main(argv=None):
                     opt_state=warmup_tx.init(state.params),
                 )
                 print(f"  warmup stage {stage}")
+            if epoch == layer_warmup.total_warmup_epochs:
+                # warmup -> plateau handoff: the reference recreates the
+                # optimizer at FULL lr and re-initializes the EMA so it
+                # tracks only post-warmup weights (train.py:51-53)
+                state = state.replace(
+                    opt_state=warmup_tx.init(state.params),
+                    ema_params=state.params,
+                )
+                print("  warmup complete: lr restored, EMA re-initialized")
             if epoch <= layer_warmup.total_warmup_epochs:
+                # epoch_update returns 1.0 at the handoff epoch, so the
+                # ramp's last value never sticks past warmup
                 state = state.replace(
                     lr_scale=jnp.asarray(scale, jnp.float32)
                 )
@@ -352,7 +363,7 @@ def main(argv=None):
                                 batches=len(val_losses))
 
         in_warmup = (layer_warmup is not None
-                     and epoch <= layer_warmup.total_warmup_epochs)
+                     and epoch < layer_warmup.total_warmup_epochs)
         if plateau is not None and not in_warmup:
             # plateau control takes over only after the warmup stages
             # (reference train.py:134-139)

@@ -58,8 +58,12 @@ def compute_metric_table(
         out["centroid_below_5"] = float((cd < 5.0).mean() * 100)
         out["centroid_median"] = float(np.median(cd))
     if run_times is not None:
-        out["run_times_mean"] = float(np.mean(run_times))
-        out["run_times_std"] = float(np.std(run_times))
+        # failed complexes carry a NaN sentinel so per-complex arrays stay
+        # index-aligned with names.npy; exclude them from runtime stats
+        rt = np.asarray(run_times, dtype=np.float64)
+        rt = rt[np.isfinite(rt)]
+        out["run_times_mean"] = float(np.mean(rt)) if rt.size else float("nan")
+        out["run_times_std"] = float(np.std(rt)) if rt.size else float("nan")
     return out
 
 

@@ -90,15 +90,25 @@ class LayerWarmupScheduler:
         return self.warmup_dur * (self.num_conv_layers + 2) - 1
 
     def epoch_update(self, epoch: int) -> Tuple[int, float, bool]:
-        """Returns (stage, lr_scale, stage_changed)."""
-        stage = min(epoch // self.warmup_dur, self.num_conv_layers + 1)
+        """Returns (stage, lr_scale, stage_changed).
+
+        Reference timing (train.py:45-53): a stage transition fires at the
+        top of epoch ``e`` when ``(e+1) % warmup_dur == 0``, i.e. stage ``k``
+        begins at epoch ``k*warmup_dur - 1`` (stage 0 spans ``warmup_dur-1``
+        epochs, every later stage spans ``warmup_dur``). From epoch
+        ``total_warmup_epochs`` on, the optimizer is recreated at FULL lr
+        and the plateau scheduler takes over — the ramp never leaks past
+        warmup (utils/utils.py:152-164).
+        """
+        stage = min((epoch + 1) // self.warmup_dur, self.num_conv_layers + 1)
         changed = stage != self._stage
         self._stage = stage
-        if epoch > self.total_warmup_epochs:
+        if epoch >= self.total_warmup_epochs:
             return stage, 1.0, changed
-        # torch LinearLR: factor ramps start->1 over warmup_dur steps
-        # within the current stage
-        k = min(epoch - stage * self.warmup_dur, self.warmup_dur)
+        # torch LinearLR: factor ramps start->1 over warmup_dur scheduler
+        # steps within the current stage (recreated per stage)
+        start = 0 if stage == 0 else stage * self.warmup_dur - 1
+        k = min(epoch - start, self.warmup_dur)
         frac = k / max(self.warmup_dur, 1)
         scale = self.lr_start_factor + (1.0 - self.lr_start_factor) * frac
         return stage, scale, changed

@@ -112,3 +112,53 @@ def test_hungarian_rmsd_fixes_permutations():
     b = a[perm]
     assert simple_rmsd(a, b) > 1.0
     assert hungarian_rmsd(a, b, elements) < 1e-9
+
+
+def test_emit_metric_tables_no_rec_overlap(tmp_path):
+    """Receptor-unseen split (reference evaluate.py:555-640): every metric
+    is emitted twice, and the no_overlap_ arrays/columns cover only the
+    names listed in the split file."""
+    import pytest
+
+    from diffdock_tpu.cli.evaluate import emit_metric_tables
+
+    names = ["aaaa", "bbbb", "cccc"]
+    rmsds = [[1.0, 3.0], [4.0, 6.0], [1.5, 2.5]]
+    cents = [[0.5, 1.0], [2.0, 3.0], [0.7, 1.2]]
+    # bbbb failed -> NaN runtime sentinel stays index-aligned (advisor r2)
+    rts = [2.0, float("nan"), 4.0]
+    confs = [[0.9, 0.1], [0.8, 0.2], [0.7, 0.3]]
+    clash = [[1.0, 1.0], [0.2, 1.0], [1.0, 1.0]]
+    split = tmp_path / "no_rec_overlap.txt"
+    split.write_text("bbbb\ncccc\nzzzz\n")
+
+    out = tmp_path / "eval"
+    table = emit_metric_tables(
+        str(out), names, rmsds, cents, rts, confs, clash, failures=1,
+        no_rec_overlap_names=str(split),
+    )
+    # both columns present
+    assert "rmsds_below_2" in table
+    assert "no_overlap_rmsds_below_2" in table
+    assert table["failures"] == 1
+    # runtime stats exclude the NaN sentinel but arrays stay aligned
+    assert table["run_times_mean"] == pytest.approx(3.0)
+    rt_arr = np.load(out / "run_times.npy")
+    nm_arr = np.load(out / "names.npy")
+    assert len(rt_arr) == len(nm_arr) == 3
+    # the split arrays cover exactly the overlap-free evaluated names
+    sub_names = np.load(out / "no_overlap_names.npy")
+    assert list(sub_names) == ["bbbb", "cccc"]
+    sub_rmsds = np.load(out / "no_overlap_rmsds.npy")
+    assert sub_rmsds.shape == (2, 2)
+    # top-1 rmsd < 2 fraction: all = 2/3, no_overlap = 1/2
+    assert table["rmsds_below_2"] == pytest.approx(100 * 2 / 3)
+    assert table["no_overlap_rmsds_below_2"] == pytest.approx(50.0)
+    # empty intersection -> split skipped, single column set
+    split2 = tmp_path / "none.txt"
+    split2.write_text("zzzz\n")
+    t2 = emit_metric_tables(
+        str(tmp_path / "eval2"), names, rmsds, cents, rts, confs, clash,
+        failures=0, no_rec_overlap_names=str(split2),
+    )
+    assert not any(k.startswith("no_overlap_") for k in t2)

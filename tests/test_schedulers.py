@@ -40,13 +40,22 @@ def test_scheduler_stage_and_ramp():
     stage1, scale1, changed1 = s.epoch_update(1)
     assert (stage1, changed1) == (0, False)
     assert 0.001 < scale1 < 1.0
-    # stage advances every warmup_dur epochs, ramp restarts
+    # reference timing: stage k begins when (epoch+1) % warmup_dur == 0,
+    # i.e. at epoch k*warmup_dur - 1 (train.py:45-47), ramp restarts
+    stage3, scale3, changed3 = s.epoch_update(3)
+    assert (stage3, changed3) == (1, True)
+    assert scale3 == pytest.approx(0.001)
     stage4, scale4, changed4 = s.epoch_update(4)
-    assert (stage4, changed4) == (1, True)
-    assert scale4 == pytest.approx(0.001)
+    assert (stage4, changed4) == (1, False)
+    assert 0.001 < scale4 < 1.0
     # final stage covers embeddings, then caps
     stage12, _, _ = s.epoch_update(12)
     assert stage12 == 3
+    # at the handoff epoch the optimizer is recreated at FULL lr
+    # (utils/utils.py:152-164): scale must be exactly 1.0, not the last
+    # ramp value (advisor r2 medium finding)
+    _, scale15, _ = s.epoch_update(15)
+    assert scale15 == 1.0
     stage99, scale99, _ = s.epoch_update(99)
     assert stage99 == 3 and scale99 == 1.0
 
