@@ -157,16 +157,26 @@ def bucket_sizes(
     )
 
 
-def pad_to(data: ComplexData, nl: int, nr: int, nb: int) -> ComplexData:
-    """Pad a ComplexData to bucket sizes (host-side, numpy)."""
+def pad_to(data: ComplexData, nl: int, nr: int, nb: int,
+           kb: int = 4) -> ComplexData:
+    """Pad a ComplexData to bucket sizes (host-side, numpy).
 
-    def pad(a, target_rows, fill=0):
+    ``kb`` additionally normalizes the bonded-neighbor width (max bond
+    degree of the molecule, data-dependent) to ``max(kb, current)`` so
+    complexes featurized from different molecules stack into one batch;
+    4 covers standard organics, hypervalent atoms grow it per molecule.
+    """
+
+    def pad(a, target_rows, fill=0, cols=None):
         a = np.asarray(a)
         pad_width = [(0, target_rows - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        if cols is not None:
+            pad_width[1] = (0, cols - a.shape[1])
         return np.pad(a, pad_width, constant_values=fill)
 
     cur_nl, cur_nr, cur_nb = data.lig_cat.shape[0], data.rec_cat.shape[0], data.rot_u.shape[0]
     assert nl >= cur_nl and nr >= cur_nr and nb >= cur_nb
+    kb = max(kb, data.lig_bond_nbr.shape[1])
     mask_rotate = np.asarray(data.mask_rotate)
     mask_rotate = np.pad(
         mask_rotate, [(0, nb - cur_nb), (0, nl - cur_nl)], constant_values=False
@@ -175,9 +185,9 @@ def pad_to(data: ComplexData, nl: int, nr: int, nb: int) -> ComplexData:
         lig_cat=pad(data.lig_cat, nl),
         lig_mask=pad(data.lig_mask, nl, False),
         lig_pos=pad(data.lig_pos, nl),
-        lig_bond_nbr=pad(data.lig_bond_nbr, nl),
-        lig_bond_mask=pad(data.lig_bond_mask, nl, False),
-        lig_bond_attr=pad(data.lig_bond_attr, nl),
+        lig_bond_nbr=pad(data.lig_bond_nbr, nl, cols=kb),
+        lig_bond_mask=pad(data.lig_bond_mask, nl, False, cols=kb),
+        lig_bond_attr=pad(data.lig_bond_attr, nl, cols=kb),
         rot_u=pad(data.rot_u, nb),
         rot_v=pad(data.rot_v, nb),
         rot_mask=pad(data.rot_mask, nb, False),

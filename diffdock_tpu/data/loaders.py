@@ -103,7 +103,10 @@ def iter_bucketed_batches(
 def _stack(members, bucket):
     nl, nr, nb = bucket
     names = [n for n, _ in members]
-    datas = [pad_to(d, nl, nr, nb) for _, d in members]
+    # normalize bonded-neighbor width across molecules (hypervalent atoms
+    # can exceed the default 4)
+    kb = max(4, *(d.lig_bond_nbr.shape[1] for _, d in members))
+    datas = [pad_to(d, nl, nr, nb, kb=kb) for _, d in members]
     def stack_field(f):
         vals = [getattr(d, f) for d in datas]
         if any(v is None for v in vals):
