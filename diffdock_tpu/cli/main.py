@@ -27,6 +27,9 @@ _COMMANDS = {
     "import-weights": ("diffdock_tpu.cli.import_weights",
                        "convert a reference torch checkpoint to native "
                        "params (no reference analogue)"),
+    "prewarm": ("diffdock_tpu.cli.prewarm",
+                "compile the eval bucket ladder into the persistent "
+                "XLA cache ahead of a sweep (no reference analogue)"),
 }
 
 

@@ -1,0 +1,123 @@
+"""Prewarm the persistent XLA compilation cache for an evaluation sweep.
+
+A cold DiffDock-L docking program compiles in minutes on TPU; a realistic
+150-complex sweep over the fine bucket ladder needs ~38 programs (hours of
+first-run compile; bench.py --churn). This command compiles the docking
+program for every bucket of the cover ladder (and optionally an explicit
+bucket list) into the persistent cache (``utils/compile_cache.py``) ahead
+of time, so the sweep itself — or the next ``bench.py``/``evaluate`` run —
+loads programs from disk instead.
+
+Because the pipeline takes model parameters as jit ARGUMENTS (not baked
+constants, ``inference/pipeline.py:_program``), the cache entries are
+weight-independent: prewarming with randomly-initialized parameters warms
+the cache for any checkpoint of the same architecture.
+
+The reference has no analogue (torch eager pays no compile wall).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description="prewarm XLA compile cache")
+    p.add_argument("--model_preset", default="diffdock_l")
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--inference_steps", type=int, default=20)
+    p.add_argument("--actual_steps", type=int, default=19)
+    p.add_argument("--bucket", action="append", default=[],
+                   metavar="NL,NR,NB,POSES",
+                   help="extra (bucket, poses) programs to compile; "
+                        "repeatable. Default: the cover ladder "
+                        "(inference/ladder.py)")
+    p.add_argument("--no_cover_ladder", action="store_true", default=False,
+                   help="only compile --bucket entries")
+    p.add_argument("--samples_per_complex", type=int, default=None,
+                   help="also compile each cover bucket at this pose count "
+                        "(e.g. 10 for the reference default recipe)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = get_parser().parse_args(argv)
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffdock_tpu.data.complexes import (
+        bucket_sizes, pad_to, synthetic_complex,
+    )
+    from diffdock_tpu.diffusion.so3 import get_so3_tables
+    from diffdock_tpu.diffusion.torus import get_torus_tables
+    from diffdock_tpu.inference.ladder import COVER_LADDER
+    from diffdock_tpu.inference.pipeline import DockingPipeline
+    from diffdock_tpu.inference.sampler import SamplerConfig
+    from diffdock_tpu.models.config import PRESETS
+    from diffdock_tpu.models.factory import build_model
+    from diffdock_tpu.utils.compile_cache import enable_persistent_cache
+
+    cache_dir = enable_persistent_cache()
+    print(f"persistent cache: {cache_dir or 'DISABLED (cpu backend?)'}")
+
+    cfg = dataclasses.replace(
+        PRESETS[args.model_preset], compute_dtype=args.compute_dtype
+    )
+    model = build_model(cfg)
+    so3 = get_so3_tables()
+    torus = get_torus_tables()
+    rng = np.random.RandomState(0)
+    d0 = jax.tree.map(
+        jnp.asarray,
+        synthetic_complex(rng, n_lig=16, n_rec=64, n_bonds=4,
+                          lm_dim=cfg.lm_embedding_dim or 1280),
+    )
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), d0, d0.lig_pos, jnp.asarray(0.5), so3, torus
+    )
+    pipeline = DockingPipeline(
+        cfg, params,
+        SamplerConfig(inference_steps=args.inference_steps,
+                      actual_steps=args.actual_steps),
+        so3_tables=so3, torus_tables=torus,
+    )
+
+    jobs = [] if args.no_cover_ladder else list(COVER_LADDER)
+    if args.samples_per_complex:
+        jobs += [
+            (nl, nr, nb, args.samples_per_complex)
+            for nl, nr, nb, _ in ([] if args.no_cover_ladder
+                                  else COVER_LADDER)
+        ]
+    for spec in args.bucket:
+        nl, nr, nb, poses = (int(x) for x in spec.split(","))
+        jobs.append((nl, nr, nb, poses))
+
+    for nl, nr, nb, poses in jobs:
+        data = synthetic_complex(
+            rng, n_lig=nl, n_rec=nr, n_bonds=nb,
+            lm_dim=cfg.lm_embedding_dim or 1280,
+        )
+        bl, br, bb = bucket_sizes(data.n_lig, data.n_rec, data.n_bonds)
+        padded = jax.tree.map(jnp.asarray, pad_to(data, bl, br, bb))
+        fn = pipeline._get_compiled((bl, br, bb, 0), poses, False)
+        t0 = time.time()
+        # AOT compile (no execution): lands in the persistent cache
+        fn.lower(
+            (pipeline.score_params, pipeline.confidence_params),
+            jax.random.PRNGKey(0), padded, None,
+        ).compile()
+        print(f"bucket nl={bl} nr={br} nb={bb} poses={poses}: "
+              f"{time.time() - t0:.1f}s", flush=True)
+    print("prewarm complete")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -115,9 +115,18 @@ class DockingPipeline:
 
     # ------------------------------------------------------------------
     def _program(self, num_poses: int, with_aa: bool, with_traj: bool = False):
-        """The full docking program for one padded complex."""
+        """The full docking program for one padded complex.
 
-        def run(key, data: ComplexData, aa_data):
+        Model parameters enter as ARGUMENTS (not closure captures): a
+        closed-over param tree is baked into the HLO as constants, which
+        makes the persistent compilation cache weight-specific — a
+        prewarmed or previously-cached program would recompile for every
+        new checkpoint (and the serialized program carries the weights).
+        As arguments, one compiled program serves every checkpoint of the
+        same architecture."""
+
+        def run(all_params, key, data: ComplexData, aa_data):
+            score_params, confidence_params = all_params
             k_init, k_diff = jax.random.split(key)
             scfg = self.score_cfg
             # v1.0 architectures embed sigma through the node encoders, and
@@ -127,7 +136,7 @@ class DockingPipeline:
                 None
                 if scfg.old_architecture or scfg.crop_beyond is not None
                 else self.score_model.apply(
-                    self.score_params, data, method="embed_receptor"
+                    score_params, data, method="embed_receptor"
                 )
             )
 
@@ -158,7 +167,7 @@ class DockingPipeline:
                         pocket = compact_receptor(data, idx, valid)
                         return jax.vmap(
                             lambda p: self.score_model.apply(
-                                self.score_params, pocket, p, t,
+                                score_params, pocket, p, t,
                                 self.so3, self.torus,
                             )
                         )(poses)
@@ -170,12 +179,12 @@ class DockingPipeline:
                     # layer-0 rec<-rec messages are pose-independent:
                     # compute once per step, share across the pose vmap
                     kw["step_cache"] = self.score_model.apply(
-                        self.score_params, data, t, cache,
+                        score_params, data, t, cache,
                         method="step_cache",
                     )
                 return jax.vmap(
                     lambda p: self.score_model.apply(
-                        self.score_params, data, p, t, self.so3, self.torus,
+                        score_params, data, p, t, self.so3, self.torus,
                         rec_cache=cache, **kw,
                     )
                 )(poses)
@@ -206,13 +215,13 @@ class DockingPipeline:
                     None
                     if ccfg.old_architecture or ccfg.crop_beyond is not None
                     else self.confidence_model.apply(
-                        self.confidence_params, conf_data,
+                        confidence_params, conf_data,
                         method="embed_receptor",
                     )
                 )
                 out = jax.vmap(
                     lambda p: self.confidence_model.apply(
-                        self.confidence_params, conf_data, p, jnp.asarray(0.0),
+                        confidence_params, conf_data, p, jnp.asarray(0.0),
                         self.so3, self.torus, rec_cache=conf_cache, **conf_kw,
                     )
                 )(final)
@@ -225,7 +234,7 @@ class DockingPipeline:
                     else:
                         feats = out[..., ccfg.num_confidence_outputs :]
                         affinity = self.confidence_model.apply(
-                            self.confidence_params, feats,
+                            confidence_params, feats,
                             method="predict_affinity",
                         )
             else:
@@ -283,7 +292,8 @@ class DockingPipeline:
 
         fn = self._get_compiled(bucket, num_poses, with_aa, return_trajectory)
         poses, conf, affinity, traj = fn(
-            jax.random.PRNGKey(seed), padded, padded_aa
+            (self.score_params, self.confidence_params),
+            jax.random.PRNGKey(seed), padded, padded_aa,
         )
         center = np.asarray(data.original_center)
         poses = np.asarray(poses)[:, :n_real]
