@@ -12,6 +12,10 @@ from typing import Optional, Tuple
 from diffdock_tpu.diffusion.schedules import SigmaConfig
 
 
+class ConfigError(ValueError):
+    """A model configuration requests an unsupported feature combination."""
+
+
 @dataclasses.dataclass(frozen=True)
 class ScoreModelConfig:
     # representation sizes

@@ -69,7 +69,17 @@ class OldCGScoreModel(CGScoreModel):
     def _setup_old_base(self):
         cfg = self.cfg
         ns = cfg.ns
-        assert not cfg.odd_parity, "odd_parity not supported"
+        if cfg.odd_parity:
+            # the flag exists in the v1.0 arg space too
+            # (old_aa_model.py:167-196) but no shipped old-architecture
+            # checkpoint sets it; the new architectures support it
+            # (score_model.py) — use those
+            from diffdock_tpu.models.config import ConfigError
+
+            raise ConfigError(
+                "odd_parity is not supported on the v1.0 (old) "
+                "architectures; use the current CG/AA score models"
+            )
         self.sh_dim = (cfg.sh_lmax + 1) ** 2
         # the old ladder has no reduce_pseudoscalars branch
         # (old_cg_model.py:88-94)

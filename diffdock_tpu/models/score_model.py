@@ -148,7 +148,6 @@ class CGScoreModel(nn.Module):
     def _setup_base(self):
         cfg = self.cfg
         ns, nv = cfg.ns, cfg.nv
-        assert not cfg.odd_parity, "odd_parity not supported yet"
         self.sh_dim = (cfg.sh_lmax + 1) ** 2
         self.irrep_seq = get_irrep_seq(
             ns, nv, cfg.use_second_order_repr, cfg.reduce_pseudoscalars
@@ -225,9 +224,13 @@ class CGScoreModel(nn.Module):
             0.0, cfg.center_max_distance, cfg.distance_embed_dim
         )
         self.center_edge_embedding = MLP2(ns, cfg.dropout)
+        # odd_parity restricts the heads to parity-consistent outputs: one
+        # odd + one even vector instead of two of each (reference
+        # cg_model.py:223 / aa_model.py:240)
         self.final_conv = TPConvLayer(
             in_irreps=self.final_ladder, sh_irreps=self.sh_irreps_str,
-            out_irreps="2x1o + 2x1e", n_edge_features=2 * ns,
+            out_irreps="1x1o + 1x1e" if cfg.odd_parity else "2x1o + 2x1e",
+            n_edge_features=2 * ns,
             residual=False, batch_norm=cfg.batch_norm, dropout=cfg.dropout,
             shared_fc=True, bn_axis_names=tuple(cfg.bn_axis_names),
             factored=cfg.factored_tp, name="final_conv",
@@ -240,7 +243,9 @@ class CGScoreModel(nn.Module):
             self.tor_bond_conv = TPConvLayer(
                 in_irreps=self.final_ladder,
                 sh_irreps=str(self.final_tp_tor.irreps_out),
-                out_irreps=f"{ns}x0o + {ns}x0e", n_edge_features=3 * ns,
+                out_irreps=(f"{ns}x0o" if cfg.odd_parity
+                            else f"{ns}x0o + {ns}x0e"),
+                n_edge_features=3 * ns,
                 residual=False, batch_norm=cfg.batch_norm,
                 dropout=cfg.dropout, shared_fc=True,
                 bn_axis_names=tuple(cfg.bn_axis_names),
@@ -665,10 +670,16 @@ class CGScoreModel(nn.Module):
         )[0]
 
         # out irreps '2x1o + 2x1e': first 1o + first 1e -> tr, second pair ->
-        # rot (reference cg_model.py:377-378); convert from the (y,z,x) irrep
-        # basis to ambient (x,y,z).
-        tr_pred = irrep1_to_vector(global_pred[:3] + global_pred[6:9])
-        rot_pred = irrep1_to_vector(global_pred[3:6] + global_pred[9:12])
+        # rot (reference cg_model.py:377-378); with odd_parity only one
+        # vector of each parity exists and nothing is summed
+        # (cg_model.py:223,377). Convert from the (y,z,x) irrep basis to
+        # ambient (x,y,z).
+        if cfg.odd_parity:
+            tr_pred = irrep1_to_vector(global_pred[:3])
+            rot_pred = irrep1_to_vector(global_pred[3:6])
+        else:
+            tr_pred = irrep1_to_vector(global_pred[:3] + global_pred[6:9])
+            rot_pred = irrep1_to_vector(global_pred[3:6] + global_pred[9:12])
 
         tr_norm = jnp.linalg.norm(tr_pred)[None]
         tr_pred = tr_pred / jnp.maximum(tr_norm, 1e-12) * self.tr_final_layer(

@@ -220,3 +220,64 @@ def test_step_cache_equivalence(setup):
     np.testing.assert_allclose(
         np.asarray(out_sc.tor), np.asarray(out_plain.tor), rtol=1e-5, atol=1e-5
     )
+
+
+def test_odd_parity_equivariance():
+    """odd_parity=True restricts the heads to parity-consistent irreps
+    (reference cg_model.py:223,244,251,377-378): under point inversion of
+    the whole complex, tr (an odd vector) negates, rot (a pseudovector) is
+    unchanged, and torsion scores (pseudoscalars) negate. The default
+    two-of-each-parity heads intentionally break this symmetry."""
+    cfg = ScoreModelConfig(
+        ns=8, nv=2, num_conv_layers=2, num_prot_emb_layers=1, odd_parity=True
+    )
+    model = CGScoreModel(cfg)
+    rng = np.random.RandomState(3)
+    data = synthetic_complex(rng, n_lig=10, n_rec=24, n_bonds=2)
+    so3 = get_so3_tables(SO3_SMALL)
+    torus = get_torus_tables(TORUS_SMALL)
+    t = jnp.asarray(0.5)
+    params = model.init(
+        jax.random.PRNGKey(0), data, data.lig_pos, t, so3, torus
+    )
+    out = model.apply(params, data, data.lig_pos, t, so3, torus)
+    assert np.isfinite(np.asarray(out.tr)).all()
+
+    data_inv = data._replace(
+        rec_pos=-jnp.asarray(data.rec_pos),
+        lig_pos=-jnp.asarray(data.lig_pos),
+    )
+    out_i = model.apply(
+        params, data_inv, -jnp.asarray(data.lig_pos), t, so3, torus
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_i.tr), -np.asarray(out.tr), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_i.rot), np.asarray(out.rot), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_i.tor), -np.asarray(out.tor), atol=2e-4
+    )
+
+
+def test_odd_parity_old_architecture_raises():
+    """The v1.0 architectures reject odd_parity with a typed ConfigError
+    instead of a bare assert (VERDICT r2 ask #8)."""
+    from diffdock_tpu.models.config import ConfigError
+    from diffdock_tpu.models.old_models import OldCGScoreModel
+
+    cfg = ScoreModelConfig(
+        ns=8, nv=2, num_conv_layers=2, num_prot_emb_layers=1,
+        odd_parity=True, old_architecture=True,
+    )
+    model = OldCGScoreModel(cfg)
+    rng = np.random.RandomState(3)
+    data = synthetic_complex(rng, n_lig=10, n_rec=24, n_bonds=2)
+    so3 = get_so3_tables(SO3_SMALL)
+    torus = get_torus_tables(TORUS_SMALL)
+    with pytest.raises(ConfigError, match="odd_parity"):
+        model.init(
+            jax.random.PRNGKey(0), data, data.lig_pos, jnp.asarray(0.5),
+            so3, torus,
+        )
