@@ -27,6 +27,16 @@ def get_parser():
     p.add_argument("--cache_path", default="data/cache_tpu")
     p.add_argument("--pose_cache", default="data/confidence_poses")
     p.add_argument("--samples_per_complex", type=int, default=8)
+    p.add_argument("--cache_id", type=int, default=None,
+                   help="tag generated pose files as {name}.id{N}.npz so "
+                        "several partial generation runs can accumulate "
+                        "(reference cache_creation_id, "
+                        "confidence/dataset.py:85)")
+    p.add_argument("--cache_ids_to_combine", type=int, nargs="+",
+                   default=None,
+                   help="skip generation; train on the union of the given "
+                        "cache ids' pose files, poses concatenated per "
+                        "complex (reference confidence/dataset.py:133-155)")
     p.add_argument("--inference_steps", type=int, default=8)
     p.add_argument("--rmsd_classification_cutoff", type=float, nargs="+",
                    default=[2.0],
@@ -67,7 +77,9 @@ def main(argv=None):
     from diffdock_tpu.train.confidence import (
         ConfidenceTrainConfig,
         generate_poses_for_complex,
+        load_pose_cache,
         make_confidence_train_step,
+        pose_cache_file,
     )
     from diffdock_tpu.train.trainer import training_model_config
 
@@ -168,19 +180,35 @@ def main(argv=None):
     pose_cache.mkdir(parents=True, exist_ok=True)
     samples = {}
     for i, (name, data) in enumerate(datas.items()):
-        path = pose_cache / f"{name}.npz"
-        if path.exists():
-            z = np.load(path)
-            samples[name] = (z["poses"], z["rmsds"])
+        if args.cache_ids_to_combine is not None:
+            got = load_pose_cache(pose_cache, name, args.cache_ids_to_combine)
+            if got is None:
+                raise FileNotFoundError(
+                    f"no pose cache for '{name}' under any of cache ids "
+                    f"{args.cache_ids_to_combine} in {pose_cache}"
+                )
+            samples[name] = got
+            continue
+        got = load_pose_cache(pose_cache, name,
+                              None if args.cache_id is None
+                              else [args.cache_id])
+        if got is not None:
+            samples[name] = got
             continue
         el_bonds = topo.get(name)
         gen_data = data.base if isinstance(data, AAComplexData) else data
+        # fold cache_id into the seed so each accumulation run generates
+        # genuinely new poses
         poses, rmsds = generate_poses_for_complex(
-            pipeline, gen_data, args.samples_per_complex, seed=args.seed + i,
+            pipeline, gen_data, args.samples_per_complex,
+            seed=args.seed + i + 7919 * (args.cache_id or 0),
             elements=None if el_bonds is None else el_bonds[0],
             bonds=None if el_bonds is None else el_bonds[1],
         )
-        np.savez_compressed(path, poses=poses, rmsds=rmsds)
+        np.savez_compressed(
+            pose_cache_file(pose_cache, name, args.cache_id),
+            poses=poses, rmsds=rmsds,
+        )
         samples[name] = (poses, rmsds)
         print(f"[{name}] generated {len(rmsds)} poses, "
               f"min rmsd {rmsds.min():.2f}")

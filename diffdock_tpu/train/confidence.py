@@ -83,6 +83,45 @@ def generate_poses_for_complex(
     return poses, np.asarray(rmsds)
 
 
+def pose_cache_file(pose_cache_dir, name: str, cache_id=None) -> Path:
+    """Path of one complex's generated-pose cache file; ``cache_id``
+    suffixes the file so independent generation runs don't collide."""
+    suffix = f".id{cache_id}" if cache_id is not None else ""
+    return Path(pose_cache_dir) / f"{name}{suffix}.npz"
+
+
+def load_pose_cache(
+    pose_cache_dir, name: str, cache_ids: Optional[List[int]] = None
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Load (poses, rmsds) for one complex, optionally accumulating across
+    generation runs.
+
+    ``cache_ids=None`` reads the plain ``{name}.npz``. A list of ids
+    concatenates ``{name}.id{i}.npz`` over every id where the complex was
+    generated (the reference's ``cache_creation_id`` /
+    ``cache_ids_to_combine`` accumulation, ``confidence/dataset.py:82-155``)
+    — pose generation is the longest preprocessing job, so partial sweeps
+    from several runs merge into one training cache. Returns None when no
+    file exists.
+    """
+    if cache_ids is None:
+        f = pose_cache_file(pose_cache_dir, name)
+        if not f.exists():
+            return None
+        z = np.load(f)
+        return z["poses"], z["rmsds"]
+    poses, rmsds = [], []
+    for cid in cache_ids:
+        f = pose_cache_file(pose_cache_dir, name, cid)
+        if f.exists():
+            z = np.load(f)
+            poses.append(z["poses"])
+            rmsds.append(z["rmsds"])
+    if not poses:
+        return None
+    return np.concatenate(poses), np.concatenate(rmsds)
+
+
 def make_confidence_train_step(model, cfg: ConfidenceTrainConfig, so3, torus):
     """Confidence training step over a batch of (complex, pose, label):
     BCE for a single cutoff, softmax CE over RMSD bins for several, MSE for
