@@ -128,18 +128,23 @@ class InferenceDatasetBuilder:
         esm_embedder=None,
         esm_table: Optional[Dict[str, np.ndarray]] = None,
         workdir: str = ".",
+        folder=None,
     ):
         self.c_alpha_max_neighbors = c_alpha_max_neighbors
         self.remove_hs = remove_hs
         self.esm_embedder = esm_embedder
         self.esm_table = esm_table
         self.workdir = workdir
+        # sequence -> structure hook: callable(sequence, out_path) -> path.
+        # Defaults to ESMFold (fold_sequence); injectable so the
+        # sequence-input path is testable without the 3B-parameter weights
+        self.folder = folder or fold_sequence
 
     def _protein(self, spec: InferenceSpec) -> ProteinStructure:
         path = spec.protein_path
         if not path and spec.protein_sequence:
             os.makedirs(self.workdir, exist_ok=True)
-            path = fold_sequence(
+            path = self.folder(
                 spec.protein_sequence,
                 os.path.join(self.workdir, f"{spec.name}_esmfold.pdb"),
             )
