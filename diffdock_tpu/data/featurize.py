@@ -324,6 +324,39 @@ def build_complex_data(
     return join_complex_arrays(lig, rec), mol
 
 
+def pocket_crop_complex(data, capacity: int, k_rec: int = 10):
+    """Host-side pocket crop: keep the ``capacity`` residues nearest the
+    (crystal) ligand centroid and rebuild the receptor kNN graph.
+
+    Train-time analogue of the model's jit-native crop_beyond/pocket
+    compaction — used to fit large receptors into small training buckets
+    (reference crops by ligand-distance at preprocessing time,
+    ``datasets/pdbbind.py`` ``pocket_reduction``/``chain_cutoff`` paths).
+    """
+    import numpy as np
+
+    from diffdock_tpu.data.complexes import build_knn_neighbors
+
+    if data.n_rec <= capacity:
+        return data
+    lig_c = np.asarray(data.lig_pos)[np.asarray(data.lig_mask)].mean(0)
+    d = np.linalg.norm(np.asarray(data.rec_pos) - lig_c, axis=1)
+    keep = np.argsort(d)[:capacity]
+    keep.sort()
+    rec_pos = np.asarray(data.rec_pos)[keep]
+    rec_nbr, rec_nbr_mask = build_knn_neighbors(rec_pos, k_rec)
+    return data._replace(
+        rec_cat=np.asarray(data.rec_cat)[keep],
+        rec_lm=np.asarray(data.rec_lm)[keep],
+        rec_mask=np.asarray(data.rec_mask)[keep],
+        rec_pos=rec_pos,
+        rec_nbr=rec_nbr,
+        rec_nbr_mask=rec_nbr_mask,
+        rec_scv=(None if data.rec_scv is None
+                 else np.asarray(data.rec_scv)[keep]),
+    )
+
+
 def _atom_type2(name: str) -> str:
     """Collapse an atom name to the reference's type-2 vocabulary
     ('CA', 'ND', ... else 'C*'-style wildcards)."""
