@@ -152,6 +152,7 @@ class OldCGScoreModel(CGScoreModel):
         return ConfidenceMLP(
             ns=cfg.ns, out_dim=out_dim, dropout=cfg.confidence_dropout,
             no_batchnorm=cfg.confidence_no_batchnorm,
+            axis_names=tuple(cfg.bn_axis_names),
             name="confidence_predictor",
         )
 

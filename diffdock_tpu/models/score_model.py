@@ -87,19 +87,29 @@ class FinalNormLayer(nn.Module):
 
 
 class ConfidenceMLP(nn.Module):
-    """Dense-BN-ReLU-Drop x2 + Dense (reference ``cg_model.py:198-208``)."""
+    """Dense-BN-ReLU-Drop x2 + Dense (reference ``cg_model.py:198-208``).
+
+    ``axis_names``: named (vmap/shard_map) axes to aggregate batch-norm
+    statistics over. The pose batch lives on a named axis during training
+    (one complex per vmap element), so WITHOUT this the BN would normalize
+    a single pooled row to exactly zero in train mode — killing both the
+    features and (through relu'(0)=0) every gradient behind them."""
 
     ns: int
     out_dim: int
     dropout: float = 0.0
     no_batchnorm: bool = False
+    axis_names: tuple = ()
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        axis = tuple(self.axis_names) or None
         for _ in range(2):
             x = nn.Dense(self.ns)(x)
             if not self.no_batchnorm:
-                x = nn.BatchNorm(momentum=0.9)(x, use_running_average=not train)
+                x = nn.BatchNorm(momentum=0.9, axis_name=axis)(
+                    x, use_running_average=not train
+                )
             x = nn.relu(x)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return nn.Dense(self.out_dim)(x)
@@ -205,6 +215,7 @@ class CGScoreModel(nn.Module):
                     out_dim=cfg.atom_num_confidence_outputs + cfg.ns,
                     dropout=cfg.confidence_dropout,
                     no_batchnorm=cfg.confidence_no_batchnorm,
+                    axis_names=tuple(cfg.bn_axis_names),
                     name="atom_confidence_predictor",
                 )
             if cfg.affinity_prediction:
@@ -301,6 +312,7 @@ class CGScoreModel(nn.Module):
             out_dim=out_dim,
             dropout=cfg.confidence_dropout,
             no_batchnorm=cfg.confidence_no_batchnorm,
+            axis_names=tuple(cfg.bn_axis_names),
             name="confidence_predictor",
         )
 

@@ -117,3 +117,60 @@ def test_confidence_train_cli_cache_combine(tmp_path):
 
     got = load_pose_cache(tmp_path / "poses", "0", [1, 2])
     assert got is not None and got[0].shape[0] == 4  # 2 poses x 2 runs
+
+
+def test_confidence_step_learns():
+    """Regression: train-mode confidence logits must be alive. With the
+    pose batch on a vmap axis, the head's BatchNorm must aggregate over
+    that named axis — un-aggregated it normalizes its single pooled row
+    to exactly zero (and relu'(0)=0 kills every gradient), which froze
+    confidence training at chance (BCE=ln 2) until round 3."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffdock_tpu.data.complexes import synthetic_complex
+    from diffdock_tpu.diffusion.so3 import SO3Config, get_so3_tables
+    from diffdock_tpu.diffusion.torus import TorusConfig, get_torus_tables
+    from diffdock_tpu.models.config import ScoreModelConfig
+    from diffdock_tpu.models.factory import build_model
+    from diffdock_tpu.train.confidence import make_confidence_train_step
+    from diffdock_tpu.train.trainer import training_model_config
+
+    so3 = get_so3_tables(SO3Config(n_eps=64, x_n=256, l_max=512))
+    torus = get_torus_tables(TorusConfig(x_n=256, sigma_n=128,
+                                         mc_samples=2000))
+    rng = np.random.RandomState(0)
+    data = synthetic_complex(rng, n_lig=10, n_rec=24, n_bonds=2)
+    tcfg = ConfidenceTrainConfig(rmsd_classification_cutoff=(2.0,), lr=1e-3)
+    cfg = training_model_config(
+        ScoreModelConfig(ns=8, nv=2, num_conv_layers=2,
+                         num_prot_emb_layers=0, confidence_mode=True,
+                         num_confidence_outputs=1),
+        data_parallel=False,
+    )
+    model = build_model(cfg)
+    B = 4
+    poses = np.stack([
+        np.asarray(data.lig_pos) + (0 if i % 2 == 0
+                                    else rng.randn(3) * 8 + 20)
+        for i in range(B)
+    ]).astype(np.float32)
+    labels = jnp.asarray([1.0, 0.0] * (B // 2))
+    datas = jax.tree.map(lambda x: jnp.stack([jnp.asarray(x)] * B), data)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(7), data, jnp.asarray(poses[0]),
+        jnp.asarray(0.0), so3, torus,
+    )
+    params, stats = variables["params"], variables.get("batch_stats", {})
+    step, tx = make_confidence_train_step(model, tcfg, so3, torus)
+    step = jax.jit(step)
+    opt = tx.init(params)
+    batch = (datas, jnp.asarray(poses), labels)
+    losses = []
+    for i in range(40):
+        params, stats, opt, m = step(params, stats, opt, batch,
+                                     jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert not np.allclose(losses[0], np.log(2.0), atol=1e-4) or \
+        losses[-1] < losses[0] - 0.05, f"loss frozen at chance: {losses[:3]}"
+    assert losses[-1] < 0.55, f"no learning: {losses[0]:.3f}->{losses[-1]:.3f}"
