@@ -59,8 +59,8 @@ PROT = {"1cbr": "1cbr_protein.pdb", "6w70": "6w70.pdb"}
 POCKET = 128
 N_TRAIN_STEPS = int(os.environ.get("MC_TRAIN_STEPS", 6000))
 N_POSES = int(os.environ.get("MC_POSES", 16))   # per dock call; one program
-N_POSE_SETS = int(os.environ.get("MC_POSE_SETS", 3))  # 48 poses/complex
-CONF_EPOCHS = int(os.environ.get("MC_CONF_EPOCHS", 40))
+N_POSE_SETS = int(os.environ.get("MC_POSE_SETS", 6))  # 96 poses/complex
+CONF_EPOCHS = int(os.environ.get("MC_CONF_EPOCHS", 250))
 
 # ---------------------------------------------------------------- load
 datas, mols, perms_cache = {}, {}, {}
@@ -172,6 +172,19 @@ print(f"LEARNING GATE: median best-pose RMSD over {len(NAMES)} complexes = "
 # cutoff at the 30th percentile of generated-pose RMSDs — the gate then
 # still tests the re-ranking contract (confidence orders poses by
 # quality, inference.py:276-282), just at a documented threshold.
+# Sampler-divergence filter: an overfit small model can run away on
+# out-of-distribution positions and emit poses hundreds of A from the
+# pocket (not a pose-quality regime the reference contract covers).
+# Drop them from the ranking study, reporting how many.
+n_div = 0
+for n in NAMES:
+    poses, rmsds = pose_bank[n]
+    keep = rmsds < 100.0
+    n_div += int((~keep).sum())
+    pose_bank[n] = (poses[keep], rmsds[keep])
+print(f"divergence filter: dropped {n_div} poses with RMSD > 100 A",
+      flush=True)
+
 all_rmsds_flat = np.concatenate([pose_bank[n][1] for n in NAMES])
 CUTOFF = 2.0
 frac_pos = float((all_rmsds_flat < CUTOFF).mean())
@@ -181,9 +194,9 @@ if frac_pos < 0.05 or frac_pos > 0.95:
     print(f"labels degenerate -> adaptive cutoff {CUTOFF:.2f} A "
           f"(30th pct of pose RMSDs)", flush=True)
 
-tcfg = ConfidenceTrainConfig(rmsd_classification_cutoff=(CUTOFF,), lr=3e-4)
+tcfg = ConfidenceTrainConfig(rmsd_classification_cutoff=(CUTOFF,), lr=1e-3)
 conf_cfg = training_model_config(
-    ScoreModelConfig(ns=16, nv=4, num_conv_layers=2, num_prot_emb_layers=0,
+    ScoreModelConfig(ns=24, nv=6, num_conv_layers=3, num_prot_emb_layers=1,
                      confidence_mode=True,
                      num_confidence_outputs=tcfg.num_outputs),
     data_parallel=False)
