@@ -2,7 +2,7 @@
 
 Default mode measures the production docking path (DockingPipeline, 20
 denoising steps, 40 poses per complex — the paper-eval recipe) over the
-four cover-ladder buckets (`diffdock_tpu/inference/ladder.py`), then
+cover-ladder buckets (`diffdock_tpu/inference/ladder.py`), then
 reports TWO numbers in ONE JSON line:
 
 - ``value``: **distribution-weighted poses/sec** — the throughput of

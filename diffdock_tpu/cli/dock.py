@@ -26,7 +26,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--protein_path", default=None)
     p.add_argument("--protein_sequence", default=None,
                    help="fold with ESMFold (requires cached weights)")
-    p.add_argument("--ligand", default=None,
+    p.add_argument("--ligand", "--ligand_description", dest="ligand",
+                   default=None,
                    help="ligand file (.sdf/.mol/.pdb) or SMILES (needs RDKit)")
     p.add_argument("--protein_ligand_csv", default=None,
                    help="CSV with columns complex_name,protein_path,ligand_description")
@@ -34,15 +35,44 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--out_dir", default="results/user_predictions")
     p.add_argument("--model_dir", default=None,
                    help="run dir with model_parameters.yml + model.msgpack")
+    p.add_argument("--ckpt", default=None,
+                   help="weights file inside --model_dir; reference .pt "
+                        "names map to the converted .msgpack flavors")
     p.add_argument("--confidence_model_dir", default=None)
+    p.add_argument("--confidence_ckpt", default=None,
+                   help="weights file inside --confidence_model_dir")
     p.add_argument("--samples_per_complex", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=10,
+                   help="poses in flight per device program (reference "
+                        "inference.py:78); samples run in chunks of this "
+                        "size through one compiled program")
     p.add_argument("--inference_steps", type=int, default=20)
     p.add_argument("--actual_steps", type=int, default=19)
+    p.add_argument("--sigma_schedule", default="expbeta")
+    p.add_argument("--inf_sched_alpha", type=float, default=1.0)
+    p.add_argument("--inf_sched_beta", type=float, default=1.0)
     p.add_argument("--no_final_step_noise", action="store_true", default=True)
     p.add_argument("--ode", action="store_true", default=False)
     p.add_argument("--no_random", action="store_true", default=False)
     p.add_argument("--initial_noise_std_proportion", type=float,
                    default=1.4601642460337794)
+    p.add_argument("--choose_residue", action="store_true", default=False,
+                   help="initial placement at a random receptor residue "
+                        "(reference inference.py:86)")
+    # low-temperature sampling (reference inference.py:88-96); defaults are
+    # the SamplerConfig tuned values from default_inference_args.yaml
+    for comp, idx in (("tr", 0), ("rot", 1), ("tor", 2)):
+        p.add_argument(f"--temp_sampling_{comp}", type=float, default=None)
+        p.add_argument(f"--temp_psi_{comp}", type=float, default=None)
+        p.add_argument(f"--temp_sigma_data_{comp}", type=float, default=None)
+    p.add_argument("--old_score_model", action="store_true", default=False,
+                   help="accepted for reference CLI compatibility; the "
+                        "architecture is read from the checkpoint config")
+    p.add_argument("--old_confidence_model", action="store_true",
+                   default=True, help="accepted for compatibility (see "
+                                      "--old_score_model)")
+    p.add_argument("--loglevel", "-l", "--log", dest="loglevel",
+                   default="WARNING")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--model_preset", default="diffdock_s",
                    help="preset when no --model_dir given (random weights)")
@@ -64,6 +94,40 @@ def get_parser() -> argparse.ArgumentParser:
     return p
 
 
+def sampler_config_from_args(args):
+    """Build a SamplerConfig from parsed CLI args. Per-component
+    temperature overrides (``--temp_sampling_tr`` etc., reference
+    inference.py:88-96) fall back to the tuned SamplerConfig defaults
+    (= default_inference_args.yaml values) when not given."""
+    from diffdock_tpu.inference.sampler import SamplerConfig
+
+    base = SamplerConfig()
+
+    def _triple(prefix):
+        vals = [getattr(args, f"{prefix}_{c}", None)
+                for c in ("tr", "rot", "tor")]
+        return tuple(
+            v if v is not None else d
+            for v, d in zip(vals, getattr(base, prefix))
+        )
+
+    return SamplerConfig(
+        inference_steps=args.inference_steps,
+        actual_steps=args.actual_steps,
+        sigma_schedule=args.sigma_schedule,
+        inf_sched_alpha=args.inf_sched_alpha,
+        inf_sched_beta=args.inf_sched_beta,
+        no_final_step_noise=args.no_final_step_noise,
+        ode=args.ode,
+        no_random=args.no_random,
+        initial_noise_std_proportion=args.initial_noise_std_proportion,
+        choose_residue=getattr(args, "choose_residue", False),
+        temp_sampling=_triple("temp_sampling"),
+        temp_psi=_triple("temp_psi"),
+        temp_sigma_data=_triple("temp_sigma_data"),
+    )
+
+
 def load_pipeline(args):
     import jax
 
@@ -73,17 +137,10 @@ def load_pipeline(args):
     from diffdock_tpu.models.score_model import CGScoreModel
     from diffdock_tpu.train.checkpoints import load_checkpoint
 
-    sampler_cfg = SamplerConfig(
-        inference_steps=args.inference_steps,
-        actual_steps=args.actual_steps,
-        no_final_step_noise=args.no_final_step_noise,
-        ode=args.ode,
-        no_random=args.no_random,
-        initial_noise_std_proportion=args.initial_noise_std_proportion,
-    )
+    sampler_cfg = sampler_config_from_args(args)
 
     if args.model_dir:
-        params, cfg, _ = load_checkpoint(args.model_dir)
+        params, cfg, _ = load_checkpoint(args.model_dir, args.ckpt)
     else:
         print(
             "WARNING: no --model_dir given; using RANDOM weights "
@@ -119,7 +176,9 @@ def load_pipeline(args):
 
     conf_cfg = conf_params = None
     if args.confidence_model_dir:
-        conf_params, conf_cfg, _ = load_checkpoint(args.confidence_model_dir)
+        conf_params, conf_cfg, _ = load_checkpoint(
+            args.confidence_model_dir, args.confidence_ckpt
+        )
 
     return DockingPipeline(
         score_cfg=cfg,
@@ -131,16 +190,44 @@ def load_pipeline(args):
     )
 
 
+# reference default_inference_args.yaml keys that have no diffdock_tpu
+# equivalent but are harmless to accept (no warning): either eval-only
+# knobs or torch-runtime details
+_ACCEPTED_NOOP_KEYS = {
+    "different_schedules",  # only matters with pocket_knowledge (evaluate)
+    "limit_failures",       # evaluate-side retry budget
+    "no_model",             # debug mode; our no --model_dir warns instead
+    "old_filtering_model",  # architecture comes from the checkpoint config
+    "old_score_model",
+    "old_confidence_model",
+    "resample_rdkit",       # evaluate-side conformer resampling
+    "no_random_pocket",     # evaluate-side pocket-mode flag
+    "loglevel",
+}
+
+
+def apply_config_overrides(args, overrides):
+    """Overlay a YAML config (including the reference's
+    ``default_inference_args.yaml`` verbatim) onto parsed args; unknown
+    keys WARN instead of being silently dropped."""
+    for k, v in (overrides or {}).items():
+        if k == "ligand_description":
+            k = "ligand"
+        if hasattr(args, k):
+            setattr(args, k, v)
+        elif k not in _ACCEPTED_NOOP_KEYS:
+            print(f"WARNING: unknown config key {k!r} ignored",
+                  file=sys.stderr)
+    return args
+
+
 def main(argv=None):
     args = get_parser().parse_args(argv)
     if args.config:
         import yaml
 
         with open(args.config) as f:
-            overrides = yaml.safe_load(f)
-        for k, v in (overrides or {}).items():
-            if hasattr(args, k):
-                setattr(args, k, v)
+            apply_config_overrides(args, yaml.safe_load(f))
 
     from diffdock_tpu.data.inference_dataset import (
         InferenceDatasetBuilder, InferenceSpec, specs_from_csv,
@@ -181,6 +268,7 @@ def main(argv=None):
                 num_poses=args.samples_per_complex, seed=args.seed,
                 lm_embeddings=lm,
                 save_trajectory=args.save_visualisation,
+                batch_size=args.batch_size,
             )
         except Exception as e:  # noqa: BLE001 — skip-and-continue like the reference
             print(f"[{name}] FAILED: {type(e).__name__}: {e}", file=sys.stderr)

@@ -37,11 +37,46 @@ def get_parser():
     p.add_argument("--ligand_file", default=None,
                    help="ligand file stem, e.g. 'ligand' -> {name}_ligand.sdf")
     p.add_argument("--model_dir", default=None)
+    p.add_argument("--ckpt", default=None,
+                   help="weights file in --model_dir (reference .pt names "
+                        "map to converted .msgpack flavors)")
     p.add_argument("--confidence_model_dir", default=None)
+    p.add_argument("--confidence_ckpt", default=None)
     p.add_argument("--model_preset", default="diffdock_s")
     p.add_argument("--samples_per_complex", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=10,
+                   help="poses in flight per device program (reference "
+                        "evaluate.py --batch_size)")
     p.add_argument("--inference_steps", type=int, default=20)
     p.add_argument("--actual_steps", type=int, default=19)
+    # sampler recipe (reference evaluate.py:125-165)
+    p.add_argument("--sigma_schedule", default="expbeta")
+    p.add_argument("--inf_sched_alpha", type=float, default=1.0)
+    p.add_argument("--inf_sched_beta", type=float, default=1.0)
+    p.add_argument("--no_random", action="store_true", default=False)
+    p.add_argument("--no_final_step_noise", action="store_true", default=True)
+    p.add_argument("--ode", action="store_true", default=False)
+    p.add_argument("--initial_noise_std_proportion", type=float,
+                   default=-1.0,
+                   help="-1.0 (reference evaluate.py:153 default) = "
+                        "tr_sigma_max Gaussian; DiffDock-L runs pass the "
+                        "tuned 1.4601642460337794")
+    p.add_argument("--choose_residue", action="store_true", default=False)
+    for comp in ("tr", "rot", "tor"):
+        p.add_argument(f"--temp_sampling_{comp}", type=float, default=None)
+        p.add_argument(f"--temp_psi_{comp}", type=float, default=None)
+        p.add_argument(f"--temp_sigma_data_{comp}", type=float, default=None)
+    # pocket-knowledge eval (reference evaluate.py:137-140,317-321,364-366):
+    # initial placement at the TRUE pocket center with small translation
+    # noise; with --different_schedules the time grid is capped so
+    # translation diffusion starts at pocket_tr_max
+    p.add_argument("--pocket_knowledge", action="store_true", default=False)
+    p.add_argument("--no_random_pocket", action="store_true", default=False,
+                   help="disable initial randomization (pocket eval)")
+    p.add_argument("--pocket_tr_max", type=float, default=3.0)
+    p.add_argument("--pocket_cutoff", type=float, default=5.0)
+    p.add_argument("--different_schedules", action="store_true",
+                   default=False)
     p.add_argument("--limit_complexes", type=int, default=0)
     p.add_argument("--out_dir", default="results/evaluation")
     p.add_argument("--seed", type=int, default=0)
@@ -73,19 +108,38 @@ def get_parser():
     return p
 
 
-def dock_with_retry(pipeline, data, num_poses, seed, max_retries=3):
+def true_pocket_center(data, pocket_cutoff: float):
+    """Ground-truth pocket center (reference ``utils/sampling.py:20-29``):
+    mean of receptor residues within ``pocket_cutoff`` of any true ligand
+    atom; the closest residue when none qualifies. Coordinates are in the
+    complex's centered frame."""
+    rec = np.asarray(data.rec_pos)[np.asarray(data.rec_mask, bool)]
+    lig = np.asarray(data.lig_pos)[np.asarray(data.lig_mask, bool)]
+    d = np.linalg.norm(rec[:, None] - lig[None], axis=-1)
+    label = (d < pocket_cutoff).any(axis=1)
+    if label.any():
+        return rec[label].mean(axis=0)
+    print(f"  no pocket residue below {pocket_cutoff} A, taking closest at "
+          f"{d.min():.2f}")
+    return rec[d.min(axis=1).argmin()]
+
+
+def dock_with_retry(pipeline, data, num_poses, seed, max_retries=3,
+                    batch_size=None, pocket_center=None):
     """Dock with batch-halving recovery (reference ``evaluate.py:523-527``):
     on failure, retry the same total pose count in smaller vmapped chunks."""
-    chunk = num_poses
+    chunk = num_poses if batch_size is None else min(batch_size, num_poses)
     for attempt in range(max_retries):
         try:
             if chunk >= num_poses:
                 return pipeline.dock_complex(data, num_poses=num_poses,
-                                             seed=seed)
+                                             seed=seed,
+                                             pocket_center=pocket_center)
             poses, confs = [], []
             for k in range(0, num_poses, chunk):
                 n = min(chunk, num_poses - k)
-                r = pipeline.dock_complex(data, num_poses=n, seed=seed + k)
+                r = pipeline.dock_complex(data, num_poses=n, seed=seed + k,
+                                          pocket_center=pocket_center)
                 poses.append(r.poses)
                 confs.append(r.confidence if r.confidence is not None
                              else np.zeros(n))
@@ -122,17 +176,48 @@ def main(argv=None):
 
     dock_args = argparse.Namespace(
         model_dir=args.model_dir,
+        ckpt=args.ckpt,
         confidence_model_dir=args.confidence_model_dir,
+        confidence_ckpt=args.confidence_ckpt,
         model_preset=args.model_preset,
         inference_steps=args.inference_steps,
         actual_steps=args.actual_steps,
-        no_final_step_noise=True, ode=False, no_random=False,
-        initial_noise_std_proportion=1.4601642460337794,
+        sigma_schedule=args.sigma_schedule,
+        inf_sched_alpha=args.inf_sched_alpha,
+        inf_sched_beta=args.inf_sched_beta,
+        no_final_step_noise=args.no_final_step_noise,
+        ode=args.ode, no_random=args.no_random,
+        initial_noise_std_proportion=args.initial_noise_std_proportion,
+        choose_residue=args.choose_residue,
         compute_dtype=args.compute_dtype,
         crop_beyond=args.crop_beyond,
         pocket_capacity=args.pocket_capacity,
+        **{
+            f"{pre}_{c}": getattr(args, f"{pre}_{c}")
+            for pre in ("temp_sampling", "temp_psi", "temp_sigma_data")
+            for c in ("tr", "rot", "tor")
+        },
     )
     pipeline = load_pipeline(dock_args)
+
+    if args.pocket_knowledge or args.no_random_pocket:
+        import dataclasses
+
+        sc = pipeline.score_cfg.sigma
+        t_max = 1.0
+        if args.pocket_knowledge and args.different_schedules:
+            # start translation diffusion at pocket_tr_max (reference
+            # evaluate.py:317-321)
+            t_max = (np.log(args.pocket_tr_max) - np.log(sc.tr_sigma_min)) / (
+                np.log(sc.tr_sigma_max) - np.log(sc.tr_sigma_min)
+            )
+        pipeline.sampler_cfg = dataclasses.replace(
+            pipeline.sampler_cfg,
+            no_random_pocket=args.no_random_pocket,
+            pocket_tr_max=(args.pocket_tr_max if args.pocket_knowledge
+                           else None),
+            t_max=t_max,
+        )
 
     protein_stem = args.protein_file or (
         "protein" if args.dataset == "posebusters" else "protein_processed"
@@ -201,10 +286,15 @@ def main(argv=None):
         data = get_data(name)
         if data is None:
             continue
+        pocket_center = (
+            true_pocket_center(data, args.pocket_cutoff)
+            if args.pocket_knowledge else None
+        )
         t0 = time.time()
         try:
             result = dock_with_retry(
-                pipeline, data, P, args.seed, max_retries=args.max_retries
+                pipeline, data, P, args.seed, max_retries=args.max_retries,
+                batch_size=args.batch_size, pocket_center=pocket_center,
             )
         except Exception as e:  # noqa: BLE001 — penalty row, keep counts
             print(f"[{name}] failed: {type(e).__name__}: {e}")

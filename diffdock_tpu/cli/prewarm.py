@@ -112,6 +112,7 @@ def main(argv=None) -> int:
         fn.lower(
             (pipeline.score_params, pipeline.confidence_params),
             jax.random.PRNGKey(0), padded, None,
+            jnp.zeros((4,), jnp.float32),
         ).compile()
         print(f"bucket nl={bl} nr={br} nb={bb} poses={poses}: "
               f"{time.time() - t0:.1f}s", flush=True)

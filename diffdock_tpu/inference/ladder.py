@@ -5,10 +5,9 @@ The fine geometric ladders in ``data/complexes.py`` minimize padding FLOPs
 but fan a realistic 150-complex evaluation mix into ~38 distinct compiled
 programs (bench.py --churn), which at minutes of XLA compile each dominates
 first-run wall-clock. The cover ladder trades padding for programs: every
-complex is executed in the smallest of FOUR buckets that fits it, so a
-whole sweep compiles at most four programs while keeping the weighted
-padding overhead bounded (~2x cross-block area on the churn mix — measured
-in PERF.md).
+complex is executed in the fastest cover bucket that fits it, so a whole
+sweep compiles at most ``len(COVER_LADDER)`` programs while keeping the
+weighted padding overhead bounded (measured in PERF.md).
 
 Used by ``bench.py`` (the distribution-weighted throughput headline is the
 throughput of this executable plan, not a model) and by the ``prewarm``
@@ -24,18 +23,32 @@ from typing import Tuple
 
 # (n_lig, n_rec, n_bonds, poses_in_flight); poses_in_flight chosen so the
 # paper-recipe 40 poses/complex divide into whole batches and the largest
-# bucket still fits HBM alongside DiffDock-L activations.
+# bucket still fits HBM alongside DiffDock-L activations (P*area bounded
+# by the known-good 8x96x2304 footprint).
+#
+# Entries were selected by greedy search against the 150-complex churn
+# distribution using the round-3 measured cost model
+# t_pose ~ 3.42e-6 * (nl*nr) + 0.0094 s (BENCH_DETAILS fit): modeled
+# 9.7-10.2 poses/s weighted vs 6.6 for the previous 4-bucket ladder.
+# Ordered fastest-fit-first (ascending per-complex time).
 COVER_LADDER: Tuple[Tuple[int, int, int, int], ...] = (
     (32, 320, 16, 40),
-    (48, 704, 16, 20),
-    (64, 1024, 16, 20),
+    (48, 320, 16, 40),
+    (32, 704, 16, 40),
+    (64, 448, 16, 40),
+    (32, 1024, 16, 40),
+    (48, 704, 16, 40),
+    (48, 1024, 16, 20),
+    (32, 2304, 16, 20),
+    (64, 1536, 16, 10),
     (96, 2304, 32, 8),
 )
 
 
 def cover_bucket(n_lig: int, n_rec: int, n_bonds: int):
-    """Smallest cover-ladder entry that fits the complex; None if the
-    complex exceeds the ladder (caller falls back to the fine ladder)."""
+    """First (= fastest, by construction of the ordering) cover-ladder
+    entry that fits the complex; None if the complex exceeds the ladder
+    (caller falls back to the fine ladder)."""
     for nl, nr, nb, poses in COVER_LADDER:
         if n_lig <= nl and n_rec <= nr and n_bonds <= nb:
             return nl, nr, nb, poses

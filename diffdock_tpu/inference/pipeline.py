@@ -125,7 +125,12 @@ class DockingPipeline:
         As arguments, one compiled program serves every checkpoint of the
         same architecture."""
 
-        def run(all_params, key, data: ComplexData, aa_data):
+        def run(all_params, key, data: ComplexData, aa_data, pocket):
+            # ``pocket``: (4,) array [x, y, z, flag] in the complex's
+            # centered frame; flag > 0 selects the pocket center as the
+            # initial placement (pocket-knowledge eval, reference
+            # evaluate.py:364-366). Traced, so one compiled program serves
+            # both modes and every pocket location.
             score_params, confidence_params = all_params
             k_init, k_diff = jax.random.split(key)
             scfg = self.score_cfg
@@ -140,11 +145,22 @@ class DockingPipeline:
                 )
             )
 
+            rw = jnp.asarray(data.rec_mask)[:, None].astype(jnp.float32)
+            rec_mean = (jnp.asarray(data.rec_pos) * rw).sum(0) / jnp.maximum(
+                rw.sum(), 1.0
+            )
+            center = jnp.where(pocket[3] > 0, pocket[:3], rec_mean)
             init = randomize_position(
-                k_init, data, num_poses, self.score_cfg.sigma.tr_sigma_max,
+                k_init, data, num_poses,
+                self.sampler_cfg.pocket_tr_max
+                if self.sampler_cfg.pocket_tr_max is not None
+                else self.score_cfg.sigma.tr_sigma_max,
                 self.sampler_cfg.initial_noise_std_proportion,
-                no_random=self.sampler_cfg.no_random,
+                no_random=(self.sampler_cfg.no_random
+                           or self.sampler_cfg.no_random_pocket),
                 no_torsion=self.score_cfg.no_torsion,
+                pocket_center=center,
+                choose_residue=self.sampler_cfg.choose_residue,
             )
 
             def score_fn(poses, t):
@@ -260,7 +276,48 @@ class DockingPipeline:
         seed: int = 0,
         aa_data: Optional[AAComplexData] = None,
         return_trajectory: bool = False,
+        pocket_center: Optional[np.ndarray] = None,
+        batch_size: Optional[int] = None,
     ) -> DockingResult:
+        """``pocket_center``: (3,) initial-placement center in the
+        complex's centered frame (same frame as ``data.rec_pos``);
+        None uses the receptor mean (blind docking).
+
+        ``batch_size``: poses in flight per device program (reference
+        ``inference.py --batch_size``); ``num_poses`` is sampled in
+        ceil(num_poses / batch_size) chunks through ONE compiled program
+        (per-chunk folded RNG), then confidence-ranked jointly. None runs
+        all poses in one program."""
+        if batch_size is not None and batch_size < num_poses:
+            n_chunks = -(-num_poses // batch_size)
+            results = [
+                self.dock_complex(
+                    data, num_poses=batch_size,
+                    seed=seed * 100003 + c, aa_data=aa_data,
+                    return_trajectory=return_trajectory,
+                    pocket_center=pocket_center,
+                )
+                for c in range(n_chunks)
+            ]
+            poses = np.concatenate([r.poses for r in results])[:num_poses]
+            conf = (
+                np.concatenate([r.confidence for r in results])[:num_poses]
+                if results[0].confidence is not None else None
+            )
+            # trajectory is step-major (S, P, n_atoms, 3): poses on axis 1
+            traj = (
+                np.concatenate([r.trajectory for r in results], axis=1)[
+                    :, :num_poses
+                ]
+                if return_trajectory else None
+            )
+            order = (
+                np.argsort(-conf) if conf is not None else np.arange(num_poses)
+            )
+            return DockingResult(
+                poses=poses, confidence=conf, order=order,
+                affinity=results[0].affinity, trajectory=traj,
+            )
         if self.pre_crop_radius is not None:
             keep = np.asarray(
                 rec_keep_mask(
@@ -291,9 +348,17 @@ class DockingPipeline:
             padded_aa, bucket = None, (nl, nr, nb, 0)
 
         fn = self._get_compiled(bucket, num_poses, with_aa, return_trajectory)
+        pocket = (
+            jnp.zeros((4,), jnp.float32)
+            if pocket_center is None
+            else jnp.concatenate(
+                [jnp.asarray(pocket_center, jnp.float32).reshape(3),
+                 jnp.ones((1,), jnp.float32)]
+            )
+        )
         poses, conf, affinity, traj = fn(
             (self.score_params, self.confidence_params),
-            jax.random.PRNGKey(seed), padded, padded_aa,
+            jax.random.PRNGKey(seed), padded, padded_aa, pocket,
         )
         center = np.asarray(data.original_center)
         poses = np.asarray(poses)[:, :n_real]
@@ -342,6 +407,7 @@ class DockingPipeline:
         seed: int = 0,
         lm_embeddings: Optional[np.ndarray] = None,
         save_trajectory: bool = False,
+        batch_size: Optional[int] = None,
     ) -> DockingResult:
         """Dock an in-memory Molecule into a ProteinStructure (entry point
         for SMILES/sequence inputs via
@@ -354,7 +420,7 @@ class DockingPipeline:
             data, heavy_mol = build_complex_data(mol, protein, lm_embeddings)
         result = self.dock_complex(
             data, num_poses=num_poses, seed=seed, aa_data=aa_data,
-            return_trajectory=save_trajectory,
+            return_trajectory=save_trajectory, batch_size=batch_size,
         )
 
         os.makedirs(out_dir, exist_ok=True)

@@ -36,10 +36,25 @@ class SamplerConfig:
     sigma_schedule: str = "expbeta"
     inf_sched_alpha: float = 1.0
     inf_sched_beta: float = 1.0
+    # pocket-knowledge eval (reference evaluate.py:317-321): cap the time
+    # grid so translation diffusion starts at pocket_tr_max instead of
+    # tr_sigma_max; t_max = the t whose tr sigma equals pocket_tr_max
+    t_max: float = 1.0
     no_random: bool = False
+    # disable only the INITIAL pose randomization (reference
+    # evaluate.py:364 ``no_random or no_random_pocket``); per-step SDE
+    # noise is unaffected
+    no_random_pocket: bool = False
     no_final_step_noise: bool = True
     ode: bool = False
     initial_noise_std_proportion: float = 1.4601642460337794
+    # initial translation placed at a random receptor residue instead of
+    # Gaussian noise around the center (reference inference.py:86,
+    # sampling.py:49-51)
+    choose_residue: bool = False
+    # when set, the initial translation noise std uses this instead of
+    # tr_sigma_max (pocket-knowledge eval, reference evaluate.py:365)
+    pocket_tr_max: Optional[float] = None
     # low-temperature sampling (DiffDock-L inference trick,
     # utils/sampling.py:173-186); tuned values from
     # default_inference_args.yaml:22-30
@@ -56,7 +71,7 @@ class SamplerConfig:
     def schedule(self) -> np.ndarray:
         return get_t_schedule(
             self.sigma_schedule, self.inference_steps,
-            self.inf_sched_alpha, self.inf_sched_beta,
+            self.inf_sched_alpha, self.inf_sched_beta, self.t_max,
         )
 
     @property
@@ -77,14 +92,19 @@ def randomize_position(
     no_random: bool = False,
     no_torsion: bool = False,
     pocket_center: Optional[jnp.ndarray] = None,
+    choose_residue: bool = False,
 ) -> jnp.ndarray:
     """Initialize pose replicas (reference ``utils/sampling.py:16-58``).
 
     Returns (num_poses, NL, 3): torsions ~ U(-pi, pi), random SO(3)
     orientation about the ligand center, placed at the receptor (or pocket)
-    center plus Gaussian translation noise.
+    center plus Gaussian translation noise. With ``choose_residue``
+    (reference ``sampling.py:49-51``) each pose instead lands offset by a
+    random receptor residue position with tiny (0.01) noise — including
+    the reference quirk that the residue offset ADDS to the
+    receptor-center placement rather than replacing it.
     """
-    k_tor, k_rot, k_tr = jax.random.split(key, 3)
+    k_tor, k_rot, k_tr, k_res = jax.random.split(key, 4)
     pos = jnp.asarray(data.lig_pos)
     amask = jnp.asarray(data.lig_mask)
     w = amask[:, None].astype(pos.dtype)
@@ -117,16 +137,33 @@ def randomize_position(
     )
 
     if not no_random:
-        if initial_noise_std_proportion >= 0.0:
-            rw = jnp.asarray(data.rec_mask).astype(pos.dtype)
-            std_rec = jnp.sqrt(
-                (jnp.sum(jnp.asarray(data.rec_pos) ** 2, axis=1) * rw).sum()
-                / jnp.maximum(rw.sum(), 1.0)
+        if choose_residue:
+            # pick a uniformly random VALID residue per pose: sample over
+            # the padded range, then map invalid picks onto valid slots by
+            # modulo of the real count
+            rmask = jnp.asarray(data.rec_mask)
+            n_valid = jnp.maximum(rmask.sum().astype(jnp.int32), 1)
+            # valid residue positions compacted to the front
+            order = jnp.argsort(~rmask.astype(bool))  # valid first
+            idx = jax.random.randint(
+                k_res, (num_poses,), 0, rmask.shape[0]
+            ) % n_valid
+            res_pos = jnp.asarray(data.rec_pos)[order][idx]  # (P, 3)
+            tr = (
+                res_pos[:, None]
+                + jax.random.normal(k_tr, (num_poses, 1, 3)) * 0.01
             )
-            std = std_rec * initial_noise_std_proportion / 1.73
         else:
-            std = -initial_noise_std_proportion * tr_sigma_max
-        tr = jax.random.normal(k_tr, (num_poses, 1, 3)) * std
+            if initial_noise_std_proportion >= 0.0:
+                rw = jnp.asarray(data.rec_mask).astype(pos.dtype)
+                std_rec = jnp.sqrt(
+                    (jnp.sum(jnp.asarray(data.rec_pos) ** 2, axis=1) * rw).sum()
+                    / jnp.maximum(rw.sum(), 1.0)
+                )
+                std = std_rec * initial_noise_std_proportion / 1.73
+            else:
+                std = -initial_noise_std_proportion * tr_sigma_max
+            tr = jax.random.normal(k_tr, (num_poses, 1, 3)) * std
         poses = poses + tr
     return poses
 

@@ -65,6 +65,27 @@ _WEIGHT_PREFERENCE = (
 )
 
 
+def resolve_weights_name(run_dir: str, name: str) -> str:
+    """Map a reference checkpoint filename (``--ckpt`` values like
+    ``best_ema_inference_epoch_model.pt``, inference.py:74-76) to the
+    equivalent converted ``.msgpack`` flavor when the literal file is
+    absent from ``run_dir``. Literal existing files always win."""
+    if os.path.exists(os.path.join(run_dir, name)):
+        return name
+    if name.endswith(".pt"):
+        stem = name[:-3]
+        if "ema" in stem:
+            flavor = "last_ema_model" if "last" in stem else "best_ema_model"
+        elif "last" in stem:
+            flavor = "last_model"
+        else:
+            flavor = "best_model"
+        mapped = flavor + ".msgpack"
+        if os.path.exists(os.path.join(run_dir, mapped)):
+            return mapped
+    return name  # let load_checkpoint raise with the tried candidates
+
+
 def load_checkpoint(
     run_dir: str, weights_name: Optional[str] = None
 ) -> Tuple[Any, ScoreModelConfig, Dict[str, Any]]:
@@ -77,7 +98,10 @@ def load_checkpoint(
     with open(os.path.join(run_dir, CONFIG_FILE)) as f:
         meta = yaml.safe_load(f)
     cfg = _cfg_from_dict(meta.pop("model"))
-    candidates = (weights_name,) if weights_name else _WEIGHT_PREFERENCE
+    candidates = (
+        (resolve_weights_name(run_dir, weights_name),)
+        if weights_name else _WEIGHT_PREFERENCE
+    )
     for name in candidates:
         path = os.path.join(run_dir, name)
         if os.path.exists(path):

@@ -107,7 +107,7 @@ def test_dock_with_retry_halves_pose_chunks():
     class FakePipeline:
         calls = []
 
-        def dock_complex(self, data, num_poses, seed):
+        def dock_complex(self, data, num_poses, seed, **kw):
             self.calls.append(num_poses)
             if num_poses > 2:
                 raise RuntimeError("RESOURCE_EXHAUSTED")
@@ -125,7 +125,7 @@ def test_dock_with_retry_exhausted_raises():
     from diffdock_tpu.cli.evaluate import dock_with_retry
 
     class AlwaysFails:
-        def dock_complex(self, data, num_poses, seed):
+        def dock_complex(self, data, num_poses, seed, **kw):
             raise RuntimeError("boom")
 
     with pytest.raises(RuntimeError):
