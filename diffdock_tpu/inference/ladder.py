@@ -28,8 +28,11 @@ from typing import Tuple
 #
 # Entries were selected by greedy search against the 150-complex churn
 # distribution using the round-3 measured cost model
-# t_pose ~ 3.42e-6 * (nl*nr) + 0.0094 s (BENCH_DETAILS fit): modeled
-# 9.7-10.2 poses/s weighted vs 6.6 for the previous 4-bucket ladder.
+# t_pose ~ 3.42e-6 * (nl*nr) + 0.0094 s (BENCH_DETAILS fit), then the
+# full ladder was re-measured on an idle chip: 9.63 poses/s weighted vs
+# 6.55 for the previous 4-bucket ladder (BENCH_DETAILS.json). Measured
+# per-complex times (40 poses) ascend monotonically down the ladder, so
+# first-fit == fastest-fit holds on measured data, not just the model.
 # Ordered fastest-fit-first (ascending per-complex time).
 COVER_LADDER: Tuple[Tuple[int, int, int, int], ...] = (
     (32, 320, 16, 40),
