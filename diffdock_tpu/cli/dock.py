@@ -86,6 +86,12 @@ def get_parser() -> argparse.ArgumentParser:
                    help="sigma-dependent receptor crop radius per step "
                         "(reference crop_beyond, utils/utils.py:388-413); "
                         "overrides the model config when given")
+    p.add_argument("--bucket_ladder", choices=("fine", "cover"),
+                   default="fine",
+                   help="'fine' = minimal-padding geometric buckets; "
+                        "'cover' = the ~10-program cover ladder "
+                        "(inference/ladder.py) so a many-complex sweep "
+                        "avoids the per-size compile churn")
     p.add_argument("--pocket_capacity", type=int, default=None,
                    help="with crop_beyond: per-step gather-compaction of "
                         "the receptor to this many nearest residues (dense "
@@ -187,6 +193,7 @@ def load_pipeline(args):
         confidence_cfg=conf_cfg,
         confidence_params=conf_params,
         pocket_capacity=args.pocket_capacity,
+        bucket_ladder=getattr(args, "bucket_ladder", "fine"),
     )
 
 

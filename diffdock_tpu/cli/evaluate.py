@@ -96,6 +96,12 @@ def get_parser():
     p.add_argument("--pocket_capacity", type=int, default=None,
                    help="with crop_beyond: gather-compact the receptor to "
                         "this many nearest residues per step")
+    p.add_argument("--bucket_ladder", choices=("fine", "cover"),
+                   default="cover",
+                   help="'cover' (default for sweeps) pads each complex to "
+                        "the ~10-program cover ladder (inference/ladder.py) "
+                        "so the whole run compiles a bounded program set; "
+                        "'fine' = minimal-padding geometric buckets")
     p.add_argument("--max_retries", type=int, default=3,
                    help="dock retries with halved pose batches before a "
                         "complex is recorded as a penalty row")
@@ -192,6 +198,7 @@ def main(argv=None):
         compute_dtype=args.compute_dtype,
         crop_beyond=args.crop_beyond,
         pocket_capacity=args.pocket_capacity,
+        bucket_ladder=args.bucket_ladder,
         **{
             f"{pre}_{c}": getattr(args, f"{pre}_{c}")
             for pre in ("temp_sampling", "temp_psi", "temp_sigma_data")

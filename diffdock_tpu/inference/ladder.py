@@ -10,8 +10,10 @@ sweep compiles at most ``len(COVER_LADDER)`` programs while keeping the
 weighted padding overhead bounded (measured in PERF.md).
 
 Used by ``bench.py`` (the distribution-weighted throughput headline is the
-throughput of this executable plan, not a model) and by the ``prewarm``
-CLI (compile the ladder into the persistent cache ahead of a sweep).
+throughput of this executable plan, not a model), by the ``prewarm``
+CLI (compile the ladder into the persistent cache ahead of a sweep), and
+by ``DockingPipeline(bucket_ladder="cover")`` — the default for
+``cli.evaluate`` sweeps — so the measured plan IS the production path.
 The reference has no analogue: torch eager pays no compile, but also never
 batches poses into one device program (``evaluate.py:523-540`` runs pose
 mini-batches through eager PyG).

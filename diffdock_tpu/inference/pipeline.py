@@ -71,13 +71,22 @@ class DockingPipeline:
         torus_tables: Optional[TorusTables] = None,
         pre_crop_radius: Optional[float] = None,
         pocket_capacity: Optional[int] = None,
+        bucket_ladder: str = "fine",
     ):
         """``pre_crop_radius``: host-side receptor shrink before padding —
         drops residues farther than this from any input-ligand atom so large
         receptors land in small buckets (memory/compile win; the per-step
         sigma-dependent crop_beyond masking stays exact inside jit). When
         None and the score config sets crop_beyond, a conservative radius
-        covering every reachable per-step crop is derived automatically."""
+        covering every reachable per-step crop is derived automatically.
+
+        ``bucket_ladder``: ``"fine"`` pads each complex to the geometric
+        ladder of ``data/complexes.py`` (minimal padding FLOPs — right for
+        single complexes and repeated same-size runs); ``"cover"`` pads to
+        the first fitting entry of ``inference/ladder.COVER_LADDER`` so a
+        whole evaluation sweep compiles at most ~10 programs instead of
+        ~38 (the bench.py weighted-headline plan; oversize complexes fall
+        back to the fine ladder)."""
         assert not score_cfg.all_atoms, "score model is coarse-grained"
         from diffdock_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -96,6 +105,8 @@ class DockingPipeline:
         # residues per step (gather; the dense blocks actually SHRINK)
         # instead of only masking. None keeps the exact masking crop.
         self.pocket_capacity = pocket_capacity
+        assert bucket_ladder in ("fine", "cover"), bucket_ladder
+        self.bucket_ladder = bucket_ladder
         self.score_cfg = score_cfg
         self.score_model = build_model(score_cfg)
         self.score_params = score_params
@@ -333,6 +344,12 @@ class DockingPipeline:
                         jax.tree.map(np.asarray, aa_data), keep
                     )._replace(base=data)
         nl, nr, nb = bucket_sizes(data.n_lig, data.n_rec, data.n_bonds)
+        if self.bucket_ladder == "cover":
+            from diffdock_tpu.inference.ladder import cover_bucket
+
+            cov = cover_bucket(data.n_lig, data.n_rec, data.n_bonds)
+            if cov is not None:
+                nl, nr, nb = cov[:3]
         n_real = data.n_lig
         padded = jax.tree.map(jnp.asarray, pad_to(data, nl, nr, nb))
 

@@ -216,3 +216,73 @@ def test_batch_size_chunks_through_one_program(tiny_pipeline):
     assert np.isfinite(res.poses).all()
     # chunk seeds differ -> poses differ across chunks
     assert not np.allclose(res.poses[0], res.poses[2])
+
+
+def _bucket_capture_pipeline(bucket_ladder):
+    """A pipeline whose compile step is stubbed to record the chosen
+    bucket — tests the ladder routing without paying a real compile."""
+    from diffdock_tpu.inference.pipeline import DockingPipeline
+    from diffdock_tpu.inference.sampler import SamplerConfig
+    from diffdock_tpu.models.config import ScoreModelConfig
+
+    cfg = ScoreModelConfig(ns=8, nv=2, num_conv_layers=2,
+                           num_prot_emb_layers=1)
+    pipe = DockingPipeline.__new__(DockingPipeline)
+    pipe.pre_crop_radius = None
+    pipe.pocket_capacity = None
+    pipe.bucket_ladder = bucket_ladder
+    pipe.score_cfg = cfg
+    pipe.confidence_cfg = None
+    pipe.confidence_model = None
+    pipe.sampler_cfg = SamplerConfig(inference_steps=2, actual_steps=2)
+    pipe._compiled = {}
+    pipe.captured = []
+
+    def fake_get_compiled(bucket, num_poses, with_aa, with_traj):
+        pipe.captured.append(bucket)
+
+        def fn(params, key, padded, aa, pocket):
+            nl = padded.lig_pos.shape[0]
+            return (jnp.zeros((num_poses, nl, 3)),
+                    jnp.zeros((num_poses,)), jnp.zeros(()), None)
+
+        return fn
+
+    pipe._get_compiled = fake_get_compiled
+    pipe.score_params = None
+    pipe.confidence_params = None
+    return pipe
+
+
+def test_cover_ladder_routes_to_cover_bucket():
+    from diffdock_tpu.inference.ladder import cover_bucket
+
+    data = _small_data(n_lig=6, n_rec=12)
+    pipe = _bucket_capture_pipeline("cover")
+    res = pipe.dock_complex(data, num_poses=2, seed=0)
+    expect = cover_bucket(data.n_lig, data.n_rec, data.n_bonds)[:3]
+    assert pipe.captured[0][:3] == expect
+    assert res.poses.shape == (2, data.n_lig, 3)
+
+
+def test_fine_ladder_keeps_minimal_bucket():
+    from diffdock_tpu.data.complexes import bucket_sizes
+
+    data = _small_data(n_lig=6, n_rec=12)
+    pipe = _bucket_capture_pipeline("fine")
+    pipe.dock_complex(data, num_poses=2, seed=0)
+    assert pipe.captured[0][:3] == bucket_sizes(
+        data.n_lig, data.n_rec, data.n_bonds
+    )
+
+
+def test_cover_ladder_oversize_falls_back_to_fine():
+    from diffdock_tpu.data.complexes import bucket_sizes
+
+    # 300 ligand atoms exceeds every cover entry (max nl=96)
+    data = _small_data(n_lig=300, n_rec=64)
+    pipe = _bucket_capture_pipeline("cover")
+    pipe.dock_complex(data, num_poses=2, seed=0)
+    assert pipe.captured[0][:3] == bucket_sizes(
+        data.n_lig, data.n_rec, data.n_bonds
+    )
