@@ -158,6 +158,13 @@ def main():
 
     details = {"churn": run_churn()}
     if args.churn:
+        # accounting-only mode: refresh the churn dict without destroying
+        # previously measured per-bucket timings in BENCH_DETAILS.json
+        try:
+            with open("BENCH_DETAILS.json") as f:
+                details = {**json.load(f), **details}
+        except (FileNotFoundError, ValueError):
+            pass
         with open("BENCH_DETAILS.json", "w") as f:
             json.dump(details, f, indent=2)
         print(json.dumps(details["churn"]))

@@ -51,7 +51,12 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--sigma_schedule", default="expbeta")
     p.add_argument("--inf_sched_alpha", type=float, default=1.0)
     p.add_argument("--inf_sched_beta", type=float, default=1.0)
-    p.add_argument("--no_final_step_noise", action="store_true", default=True)
+    p.add_argument("--no_final_step_noise", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="zero the SDE noise at the last executed step "
+                        "(reference inference.py:79 default True; unlike "
+                        "the reference's store_true-with-default-True, "
+                        "--no-no_final_step_noise can actually disable it)")
     p.add_argument("--ode", action="store_true", default=False)
     p.add_argument("--no_random", action="store_true", default=False)
     p.add_argument("--initial_noise_std_proportion", type=float,

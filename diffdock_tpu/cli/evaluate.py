@@ -44,9 +44,15 @@ def get_parser():
     p.add_argument("--confidence_ckpt", default=None)
     p.add_argument("--model_preset", default="diffdock_s")
     p.add_argument("--samples_per_complex", type=int, default=10)
-    p.add_argument("--batch_size", type=int, default=10,
+    p.add_argument("--batch_size", type=int, default=None,
                    help="poses in flight per device program (reference "
-                        "evaluate.py --batch_size)")
+                        "evaluate.py --batch_size). Default None = "
+                        "bucket-optimal: the cover ladder entry's "
+                        "poses-in-flight with --bucket_ladder cover (so "
+                        "the sweep hits exactly the programs `prewarm` "
+                        "compiles), else all poses in one program; "
+                        "explicit values are capped at the ladder's "
+                        "HBM-safe P")
     p.add_argument("--inference_steps", type=int, default=20)
     p.add_argument("--actual_steps", type=int, default=19)
     # sampler recipe (reference evaluate.py:125-165)
@@ -54,7 +60,11 @@ def get_parser():
     p.add_argument("--inf_sched_alpha", type=float, default=1.0)
     p.add_argument("--inf_sched_beta", type=float, default=1.0)
     p.add_argument("--no_random", action="store_true", default=False)
-    p.add_argument("--no_final_step_noise", action="store_true", default=True)
+    p.add_argument("--no_final_step_noise", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="zero the SDE noise at the last executed step "
+                        "(reference evaluate.py:123 default False — note "
+                        "inference.py:79 defaults True)")
     p.add_argument("--ode", action="store_true", default=False)
     p.add_argument("--initial_noise_std_proportion", type=float,
                    default=-1.0,
@@ -133,34 +143,21 @@ def true_pocket_center(data, pocket_cutoff: float):
 def dock_with_retry(pipeline, data, num_poses, seed, max_retries=3,
                     batch_size=None, pocket_center=None):
     """Dock with batch-halving recovery (reference ``evaluate.py:523-527``):
-    on failure, retry the same total pose count in smaller vmapped chunks."""
-    chunk = num_poses if batch_size is None else min(batch_size, num_poses)
+    on failure, retry the same total pose count with fewer poses in
+    flight. Chunking itself is ``DockingPipeline.dock_complex``'s
+    (one compiled program per (bucket, chunk), per-chunk folded RNG,
+    joint confidence ranking) — this wrapper only halves the chunk."""
+    chunk = batch_size
     for attempt in range(max_retries):
         try:
-            if chunk >= num_poses:
-                return pipeline.dock_complex(data, num_poses=num_poses,
-                                             seed=seed,
-                                             pocket_center=pocket_center)
-            poses, confs = [], []
-            for k in range(0, num_poses, chunk):
-                n = min(chunk, num_poses - k)
-                r = pipeline.dock_complex(data, num_poses=n, seed=seed + k,
-                                          pocket_center=pocket_center)
-                poses.append(r.poses)
-                confs.append(r.confidence if r.confidence is not None
-                             else np.zeros(n))
-            poses = np.concatenate(poses)
-            confs = np.concatenate(confs)
-            import types
-
-            return types.SimpleNamespace(
-                poses=poses, confidence=confs, order=np.argsort(-confs),
-                affinity=None, trajectory=None,
+            return pipeline.dock_complex(
+                data, num_poses=num_poses, seed=seed,
+                batch_size=chunk, pocket_center=pocket_center,
             )
         except Exception as e:  # noqa: BLE001 — reference-style halving
-            if chunk <= 1 or attempt == max_retries - 1:
+            if (chunk or num_poses) <= 1 or attempt == max_retries - 1:
                 raise
-            chunk = max(1, chunk // 2)
+            chunk = max(1, (chunk or num_poses) // 2)
             print(f"  retry with pose chunks of {chunk}: "
                   f"{type(e).__name__}: {e}")
     raise RuntimeError("unreachable")

@@ -200,21 +200,18 @@ class ComplexDataset:
             b = bucket_sizes(d.n_lig, d.n_rec, d.n_bonds)
             buckets.setdefault(b, []).append(name)
 
+        # single stacking implementation (normalizes bonded-neighbor width
+        # across molecules — hypervalent atoms can exceed the default 4)
+        from diffdock_tpu.data.loaders import _stack
+
         for (nl, nr, nb), members in buckets.items():
             for i in range(0, len(members), batch_size):
                 chunk = members[i : i + batch_size]
                 if drop_last and len(chunk) < batch_size:
                     continue
-                datas = [pad_to(self.get(n), nl, nr, nb) for n in chunk]
-
-                def stack_field(f):
-                    vals = [getattr(d, f) for d in datas]
-                    if any(v is None for v in vals):
-                        return None
-                    return np.stack([np.asarray(v) for v in vals])
-
-                stacked = ComplexData(*[stack_field(f) for f in _FIELDS])
-                yield chunk, stacked
+                yield _stack(
+                    [(n, self.get(n)) for n in chunk], (nl, nr, nb)
+                )
 
 
 def pdbbind_specs(

@@ -298,12 +298,47 @@ class DockingPipeline:
         ``inference.py --batch_size``); ``num_poses`` is sampled in
         ceil(num_poses / batch_size) chunks through ONE compiled program
         (per-chunk folded RNG), then confidence-ranked jointly. None runs
-        all poses in one program."""
-        if batch_size is not None and batch_size < num_poses:
-            n_chunks = -(-num_poses // batch_size)
+        all poses in one program — except in cover-ladder mode, where the
+        chunk defaults to the ladder entry's poses-in-flight (and any
+        explicit batch_size is capped there, the HBM-safety bound)."""
+        if self.pre_crop_radius is not None:
+            keep = np.asarray(
+                rec_keep_mask(
+                    np.asarray(data.rec_pos), np.asarray(data.rec_mask),
+                    np.asarray(data.lig_pos)[None], np.asarray(data.lig_mask),
+                    self.pre_crop_radius,
+                )
+            )
+            if not keep.all():
+                data = crop_complex(jax.tree.map(np.asarray, data), keep)
+                if aa_data is not None:
+                    aa_data = crop_aa_complex(
+                        jax.tree.map(np.asarray, aa_data), keep
+                    )._replace(base=data)
+        nl, nr, nb = bucket_sizes(data.n_lig, data.n_rec, data.n_bonds)
+        ladder_poses = None
+        if self.bucket_ladder == "cover":
+            from diffdock_tpu.inference.ladder import cover_bucket
+
+            cov = cover_bucket(data.n_lig, data.n_rec, data.n_bonds)
+            if cov is not None:
+                nl, nr, nb = cov[:3]
+                ladder_poses = cov[3]
+
+        # Resolve the pose chunk size AFTER crop + bucket selection so it
+        # reflects the shapes that actually run: an explicit batch_size
+        # wins but is capped at the ladder entry's HBM-safe
+        # poses-in-flight; in cover mode the default chunk IS the ladder
+        # entry's P, so sweeps execute the exact (bucket, P) programs that
+        # `prewarm` compiles and bench.py measures.
+        chunk = batch_size
+        if ladder_poses is not None:
+            chunk = min(chunk, ladder_poses) if chunk else ladder_poses
+        if chunk is not None and chunk < num_poses:
+            n_chunks = -(-num_poses // chunk)
             results = [
                 self.dock_complex(
-                    data, num_poses=batch_size,
+                    data, num_poses=chunk,
                     seed=seed * 100003 + c, aa_data=aa_data,
                     return_trajectory=return_trajectory,
                     pocket_center=pocket_center,
@@ -325,31 +360,15 @@ class DockingPipeline:
             order = (
                 np.argsort(-conf) if conf is not None else np.arange(num_poses)
             )
+            # every chunk runs `chunk` poses, so the mean of per-chunk
+            # aggregated affinities weights all sampled poses equally
+            # (remainder poses beyond num_poses were genuinely sampled)
+            affs = [r.affinity for r in results if r.affinity is not None]
             return DockingResult(
                 poses=poses, confidence=conf, order=order,
-                affinity=results[0].affinity, trajectory=traj,
+                affinity=float(np.mean(affs)) if affs else None,
+                trajectory=traj,
             )
-        if self.pre_crop_radius is not None:
-            keep = np.asarray(
-                rec_keep_mask(
-                    np.asarray(data.rec_pos), np.asarray(data.rec_mask),
-                    np.asarray(data.lig_pos)[None], np.asarray(data.lig_mask),
-                    self.pre_crop_radius,
-                )
-            )
-            if not keep.all():
-                data = crop_complex(jax.tree.map(np.asarray, data), keep)
-                if aa_data is not None:
-                    aa_data = crop_aa_complex(
-                        jax.tree.map(np.asarray, aa_data), keep
-                    )._replace(base=data)
-        nl, nr, nb = bucket_sizes(data.n_lig, data.n_rec, data.n_bonds)
-        if self.bucket_ladder == "cover":
-            from diffdock_tpu.inference.ladder import cover_bucket
-
-            cov = cover_bucket(data.n_lig, data.n_rec, data.n_bonds)
-            if cov is not None:
-                nl, nr, nb = cov[:3]
         n_real = data.n_lig
         padded = jax.tree.map(jnp.asarray, pad_to(data, nl, nr, nb))
 

@@ -138,16 +138,18 @@ def randomize_position(
 
     if not no_random:
         if choose_residue:
-            # pick a uniformly random VALID residue per pose: sample over
-            # the padded range, then map invalid picks onto valid slots by
-            # modulo of the real count
+            # pick a uniformly random VALID residue per pose (reference
+            # sampling.py:50 randint over actual residues): floor of a
+            # uniform float scaled by the real count — no modulo bias
             rmask = jnp.asarray(data.rec_mask)
             n_valid = jnp.maximum(rmask.sum().astype(jnp.int32), 1)
             # valid residue positions compacted to the front
             order = jnp.argsort(~rmask.astype(bool))  # valid first
-            idx = jax.random.randint(
-                k_res, (num_poses,), 0, rmask.shape[0]
-            ) % n_valid
+            u = jax.random.uniform(k_res, (num_poses,))
+            idx = jnp.minimum(
+                (u * n_valid.astype(u.dtype)).astype(jnp.int32),
+                n_valid - 1,
+            )
             res_pos = jnp.asarray(data.rec_pos)[order][idx]  # (P, 3)
             tr = (
                 res_pos[:, None]
@@ -204,10 +206,14 @@ def reverse_diffusion(
     sched = sampler_cfg.schedule()
     n = sampler_cfg.num_steps
     t_curr = jnp.asarray(sched[:n], jnp.float32)
-    t_next = jnp.asarray(
-        np.concatenate([sched[1:], [0.0]])[:n], jnp.float32
-    )
-    is_last = jnp.arange(n) == (sampler_cfg.inference_steps - 1)
+    # The LAST EXECUTED step integrates all the way to t=0 and is where
+    # no_final_step_noise applies — even when actual_steps <
+    # inference_steps (the shipped 19-of-20 recipe): the reference passes
+    # actual_steps as sampling()'s inference_steps, so its final dt is
+    # sched[last] itself and its noise-zeroing test fires on that step
+    # (utils/sampling.py:100-102,140; inference.py:261).
+    t_next = jnp.asarray(np.concatenate([sched[1:n], [0.0]]), jnp.float32)
+    is_last = jnp.arange(n) == n - 1
 
     tr_g_scale = float(
         np.sqrt(2 * np.log(sigma_cfg.tr_sigma_max / sigma_cfg.tr_sigma_min))

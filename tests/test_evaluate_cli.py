@@ -107,9 +107,12 @@ def test_dock_with_retry_halves_pose_chunks():
     class FakePipeline:
         calls = []
 
-        def dock_complex(self, data, num_poses, seed, **kw):
-            self.calls.append(num_poses)
-            if num_poses > 2:
+        def dock_complex(self, data, num_poses, seed, batch_size=None,
+                         **kw):
+            # poses in flight = the chunk the pipeline would vmap
+            in_flight = min(num_poses, batch_size or num_poses)
+            self.calls.append(in_flight)
+            if in_flight > 2:
                 raise RuntimeError("RESOURCE_EXHAUSTED")
             return FakeResult(num_poses, seed)
 

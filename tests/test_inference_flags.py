@@ -239,7 +239,7 @@ def _bucket_capture_pipeline(bucket_ladder):
     pipe.captured = []
 
     def fake_get_compiled(bucket, num_poses, with_aa, with_traj):
-        pipe.captured.append(bucket)
+        pipe.captured.append(bucket + (num_poses,))
 
         def fn(params, key, padded, aa, pocket):
             nl = padded.lig_pos.shape[0]
@@ -285,4 +285,108 @@ def test_cover_ladder_oversize_falls_back_to_fine():
     pipe.dock_complex(data, num_poses=2, seed=0)
     assert pipe.captured[0][:3] == bucket_sizes(
         data.n_lig, data.n_rec, data.n_bonds
+    )
+
+
+def test_cover_ladder_chunks_at_ladder_poses_in_flight():
+    """In cover mode the default chunk is the ladder entry's P, so sweeps
+    execute exactly the (bucket, P) programs that prewarm compiles; an
+    explicit batch_size is capped at that HBM-safe P."""
+    from diffdock_tpu.inference.ladder import cover_bucket
+
+    data = _small_data(n_lig=6, n_rec=12)
+    cov = cover_bucket(data.n_lig, data.n_rec, data.n_bonds)
+    ladder_p = cov[3]
+
+    pipe = _bucket_capture_pipeline("cover")
+    res = pipe.dock_complex(data, num_poses=2 * ladder_p + 1, seed=0)
+    # three chunks, every program at the ladder's P
+    assert [c[4] for c in pipe.captured] == [ladder_p] * 3
+    assert res.poses.shape == (2 * ladder_p + 1, data.n_lig, 3)
+
+    pipe = _bucket_capture_pipeline("cover")
+    pipe.dock_complex(data, num_poses=ladder_p + 1, seed=0,
+                      batch_size=10 * ladder_p)
+    assert [c[4] for c in pipe.captured] == [ladder_p] * 2
+
+
+# ---------------------------------------------------------------------------
+# Final-step semantics (reference utils/sampling.py:100-102,140 with
+# inference.py:261 passing actual_steps as sampling()'s inference_steps):
+# the LAST EXECUTED step integrates all the way to t=0 and is where
+# no_final_step_noise applies — even when actual_steps < inference_steps.
+
+
+class _FakeScore:
+    def __init__(self, tr, rot, tor):
+        self.tr, self.rot, self.tor = tr, rot, tor
+
+
+def test_no_final_step_noise_fires_on_last_executed_step():
+    """With actual_steps=1 < inference_steps and a zero score, the single
+    executed step is the last one: its noise must be zeroed, leaving the
+    poses exactly unchanged."""
+    from diffdock_tpu.diffusion.schedules import SigmaConfig
+    from diffdock_tpu.inference.sampler import reverse_diffusion
+
+    data = jax.tree.map(jnp.asarray, _small_data())
+    cfg = SamplerConfig(inference_steps=4, actual_steps=1,
+                        no_final_step_noise=True)
+    init = jnp.broadcast_to(data.lig_pos, (2,) + data.lig_pos.shape)
+
+    def score_fn(poses, t):
+        p = poses.shape[0]
+        return _FakeScore(jnp.zeros((p, 3)), jnp.zeros((p, 3)),
+                          jnp.zeros((p, data.rot_u.shape[0])))
+
+    final = reverse_diffusion(
+        jax.random.PRNGKey(0), score_fn, data, init, cfg, SigmaConfig(),
+        None, None,
+    )
+    np.testing.assert_allclose(np.asarray(final), np.asarray(init),
+                               atol=1e-4)
+
+
+def test_last_executed_step_integrates_to_zero():
+    """dt at the last executed step is sched[last] itself (the jump to
+    t=0), not sched[last] - sched[last+1]: verified against the closed
+    form of the accumulated translation for a constant tr score."""
+    from diffdock_tpu.diffusion.schedules import (
+        SigmaConfig, get_t_schedule, t_to_sigma,
+    )
+    from diffdock_tpu.inference.sampler import reverse_diffusion
+
+    data = jax.tree.map(jnp.asarray, _small_data())
+    sig = SigmaConfig()
+    n_steps, n_actual = 5, 3
+    cfg = SamplerConfig(
+        inference_steps=n_steps, actual_steps=n_actual, no_random=True,
+        temp_sampling=(1.0, 1.0, 1.0),
+    )
+    c = np.array([0.011, -0.007, 0.005], np.float32)
+
+    def score_fn(poses, t):
+        p = poses.shape[0]
+        return _FakeScore(
+            jnp.broadcast_to(jnp.asarray(c), (p, 3)),
+            jnp.zeros((p, 3)),
+            jnp.zeros((p, data.rot_u.shape[0])),
+        )
+
+    init = jnp.broadcast_to(data.lig_pos, (2,) + data.lig_pos.shape)
+    final = reverse_diffusion(
+        jax.random.PRNGKey(0), score_fn, data, init, cfg, sig, None, None,
+    )
+
+    sched = get_t_schedule(cfg.sigma_schedule, n_steps)
+    g2 = np.sqrt(2 * np.log(sig.tr_sigma_max / sig.tr_sigma_min)) ** 2
+    expect = np.zeros(3)
+    for i in range(n_actual):
+        dt = sched[i] - sched[i + 1] if i < n_actual - 1 else sched[i]
+        tr_sigma = float(t_to_sigma(sched[i], sched[i], sched[i], sig)[0])
+        expect += tr_sigma**2 * g2 * dt * c
+    amask = np.asarray(data.lig_mask, bool)
+    moved = (np.asarray(final) - np.asarray(init))[:, amask].mean(1)
+    np.testing.assert_allclose(
+        moved, np.broadcast_to(expect, moved.shape), rtol=1e-3, atol=1e-5
     )
