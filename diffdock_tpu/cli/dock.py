@@ -42,10 +42,14 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--confidence_ckpt", default=None,
                    help="weights file inside --confidence_model_dir")
     p.add_argument("--samples_per_complex", type=int, default=10)
-    p.add_argument("--batch_size", type=int, default=10,
+    p.add_argument("--batch_size", type=int, default=None,
                    help="poses in flight per device program (reference "
-                        "inference.py:78); samples run in chunks of this "
-                        "size through one compiled program")
+                        "inference.py:78, default 10 there). Default None "
+                        "= bucket-optimal: with --bucket_ladder cover the "
+                        "cover-ladder entry's poses-in-flight (so runs hit "
+                        "exactly the programs `prewarm` compiles), else "
+                        "all samples in one program; explicit values are "
+                        "capped at the ladder's HBM-safe P")
     p.add_argument("--inference_steps", type=int, default=20)
     p.add_argument("--actual_steps", type=int, default=19)
     p.add_argument("--sigma_schedule", default="expbeta")
@@ -97,6 +101,12 @@ def get_parser() -> argparse.ArgumentParser:
                         "'cover' = the ~10-program cover ladder "
                         "(inference/ladder.py) so a many-complex sweep "
                         "avoids the per-size compile churn")
+    p.add_argument("--pose_devices", type=int, default=1,
+                   help="shard each complex's pose batch over this many "
+                        "devices (1-axis jax mesh; poses are "
+                        "embarrassingly parallel so the hot loop needs no "
+                        "collectives). 0 = all visible devices; 1 "
+                        "(default) = single-device")
     p.add_argument("--pocket_capacity", type=int, default=None,
                    help="with crop_beyond: per-step gather-compaction of "
                         "the receptor to this many nearest residues (dense "
@@ -191,6 +201,15 @@ def load_pipeline(args):
             args.confidence_model_dir, args.confidence_ckpt
         )
 
+    mesh = None
+    n_dev = getattr(args, "pose_devices", 1)
+    if n_dev == 0:
+        n_dev = len(jax.devices())
+    if n_dev > 1:
+        from diffdock_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_dev)
+
     return DockingPipeline(
         score_cfg=cfg,
         score_params=params,
@@ -199,6 +218,7 @@ def load_pipeline(args):
         confidence_params=conf_params,
         pocket_capacity=args.pocket_capacity,
         bucket_ladder=getattr(args, "bucket_ladder", "fine"),
+        mesh=mesh,
     )
 
 

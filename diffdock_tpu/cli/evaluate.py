@@ -112,6 +112,9 @@ def get_parser():
                         "the ~10-program cover ladder (inference/ladder.py) "
                         "so the whole run compiles a bounded program set; "
                         "'fine' = minimal-padding geometric buckets")
+    p.add_argument("--pose_devices", type=int, default=1,
+                   help="shard each complex's pose batch over this many "
+                        "devices (0 = all visible; see cli.dock)")
     p.add_argument("--max_retries", type=int, default=3,
                    help="dock retries with halved pose batches before a "
                         "complex is recorded as a penalty row")
@@ -196,6 +199,7 @@ def main(argv=None):
         crop_beyond=args.crop_beyond,
         pocket_capacity=args.pocket_capacity,
         bucket_ladder=args.bucket_ladder,
+        pose_devices=args.pose_devices,
         **{
             f"{pre}_{c}": getattr(args, f"{pre}_{c}")
             for pre in ("temp_sampling", "temp_psi", "temp_sigma_data")

@@ -72,6 +72,7 @@ class DockingPipeline:
         pre_crop_radius: Optional[float] = None,
         pocket_capacity: Optional[int] = None,
         bucket_ladder: str = "fine",
+        mesh: Optional["jax.sharding.Mesh"] = None,
     ):
         """``pre_crop_radius``: host-side receptor shrink before padding —
         drops residues farther than this from any input-ligand atom so large
@@ -86,7 +87,17 @@ class DockingPipeline:
         the first fitting entry of ``inference/ladder.COVER_LADDER`` so a
         whole evaluation sweep compiles at most ~10 programs instead of
         ~38 (the bench.py weighted-headline plan; oversize complexes fall
-        back to the fine ladder)."""
+        back to the fine ladder).
+
+        ``mesh``: a 1-axis ``jax.sharding.Mesh`` to shard the POSE axis
+        over (pose replicas are embarrassingly parallel — the reference's
+        only parallelism is single-node DataParallel,
+        ``utils/utils.py:278-279``). The complex and parameters are
+        replicated, each device samples its own pose slice with
+        independently folded RNG, and only the scalar affinity needs a
+        collective (``pmean`` over ICI). None (default) runs single-
+        device. In cover-ladder mode the per-program pose budget scales
+        by the mesh size (the ladder's P is a per-chip HBM bound)."""
         assert not score_cfg.all_atoms, "score model is coarse-grained"
         from diffdock_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -118,6 +129,9 @@ class DockingPipeline:
         self.confidence_params = confidence_params
         self.so3 = so3_tables if so3_tables is not None else get_so3_tables()
         self.torus = torus_tables if torus_tables is not None else get_torus_tables()
+        if mesh is not None:
+            assert len(mesh.axis_names) == 1, "pose sharding uses a 1-axis mesh"
+        self.mesh = mesh
         self._compiled: Dict[Tuple, callable] = {}
 
     @property
@@ -270,13 +284,52 @@ class DockingPipeline:
 
         return run
 
+    def _sharded_program(self, num_poses: int, with_aa: bool,
+                         with_traj: bool):
+        """Pose-parallel docking over ``self.mesh``: each device runs the
+        single-device program on ``num_poses / mesh.size`` poses with its
+        mesh index folded into the RNG, the pose axis of every output is
+        sharded, and the pose-set affinity is ``pmean``-ed (the only
+        collective — poses are embarrassingly parallel)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        (axis_name,) = self.mesh.axis_names
+        ndev = self.mesh.size
+        assert num_poses % ndev == 0, (num_poses, ndev)
+        base = self._program(num_poses // ndev, with_aa, with_traj)
+
+        def local(all_params, key, data, aa_data, pocket):
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+            final, conf, affinity, traj = base(
+                all_params, key, data, aa_data, pocket
+            )
+            return final, conf, jax.lax.pmean(affinity, axis_name), traj
+
+        sharded = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(), P()),
+            # trajectory is step-major (S, P, NL, 3): poses on axis 1;
+            # without a trajectory every shard returns the same zeros((0,))
+            out_specs=(P(axis_name), P(axis_name), P(),
+                       P(None, axis_name) if with_traj else P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
     def _get_compiled(self, bucket, num_poses: int, with_aa: bool,
                       with_traj: bool = False):
         key = bucket + (num_poses, with_aa, with_traj)
         if key not in self._compiled:
-            self._compiled[key] = jax.jit(
-                self._program(num_poses, with_aa, with_traj)
-            )
+            if self.mesh is not None and self.mesh.size > 1:
+                self._compiled[key] = self._sharded_program(
+                    num_poses, with_aa, with_traj
+                )
+            else:
+                self._compiled[key] = jax.jit(
+                    self._program(num_poses, with_aa, with_traj)
+                )
         return self._compiled[key]
 
     # ------------------------------------------------------------------
@@ -333,6 +386,9 @@ class DockingPipeline:
         # `prewarm` compiles and bench.py measures.
         chunk = batch_size
         if ladder_poses is not None:
+            if self.mesh is not None:
+                # the ladder's P is a per-chip HBM bound
+                ladder_poses *= self.mesh.size
             chunk = min(chunk, ladder_poses) if chunk else ladder_poses
         if chunk is not None and chunk < num_poses:
             n_chunks = -(-num_poses // chunk)
@@ -370,6 +426,12 @@ class DockingPipeline:
                 trajectory=traj,
             )
         n_real = data.n_lig
+        # with a pose mesh the program's pose count must divide evenly
+        # across devices; surplus poses are sampled and dropped
+        n_run = num_poses
+        if self.mesh is not None and self.mesh.size > 1:
+            nd = self.mesh.size
+            n_run = -(-num_poses // nd) * nd
         padded = jax.tree.map(jnp.asarray, pad_to(data, nl, nr, nb))
 
         with_aa = self._confidence_all_atoms
@@ -383,7 +445,7 @@ class DockingPipeline:
         else:
             padded_aa, bucket = None, (nl, nr, nb, 0)
 
-        fn = self._get_compiled(bucket, num_poses, with_aa, return_trajectory)
+        fn = self._get_compiled(bucket, n_run, with_aa, return_trajectory)
         pocket = (
             jnp.zeros((4,), jnp.float32)
             if pocket_center is None
@@ -397,13 +459,13 @@ class DockingPipeline:
             jax.random.PRNGKey(seed), padded, padded_aa, pocket,
         )
         center = np.asarray(data.original_center)
-        poses = np.asarray(poses)[:, :n_real]
+        poses = np.asarray(poses)[:num_poses, :n_real]
         poses = poses + center[None, None]
         trajectory = (
-            np.asarray(traj)[:, :, :n_real] + center[None, None, None]
+            np.asarray(traj)[:, :num_poses, :n_real] + center[None, None, None]
             if return_trajectory else None
         )
-        conf = np.asarray(conf)
+        conf = np.asarray(conf)[:num_poses]
         order = np.argsort(-conf)
         has_conf = self.confidence_model is not None
         has_aff = has_conf and self.confidence_cfg.affinity_prediction
