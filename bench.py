@@ -92,7 +92,11 @@ def run_churn():
     }
 
 
-def _make_pipeline(steps=STEPS):
+POCKET_CROP_BEYOND = 20.0   # reference pocket-eval crop (utils/utils.py:388)
+POCKET_CAPACITY = 1024      # compaction capacity (PERF.md, 2.1x at 32x2304)
+
+
+def _make_pipeline(steps=STEPS, pocket=False):
     import jax
     import jax.numpy as jnp
 
@@ -105,6 +109,14 @@ def _make_pipeline(steps=STEPS):
     from diffdock_tpu.models.score_model import CGScoreModel
 
     cfg = dataclasses.replace(PRESETS["diffdock_l"], compute_dtype="bfloat16")
+    kw = {}
+    if pocket:
+        # in-jit sigma-dependent crop + gather-compaction to a fixed
+        # pocket capacity; a huge pre_crop_radius (f32-square-safe)
+        # disables the host-side pre-crop so the measured program ingests
+        # the full padded receptor (what a sweep over big receptors runs)
+        cfg = dataclasses.replace(cfg, crop_beyond=POCKET_CROP_BEYOND)
+        kw = dict(pocket_capacity=POCKET_CAPACITY, pre_crop_radius=1e9)
     model = CGScoreModel(cfg)
     so3 = get_so3_tables()
     torus = get_torus_tables()
@@ -119,7 +131,7 @@ def _make_pipeline(steps=STEPS):
     return DockingPipeline(
         cfg, params,
         SamplerConfig(inference_steps=steps, actual_steps=steps),
-        so3_tables=so3, torus_tables=torus,
+        so3_tables=so3, torus_tables=torus, **kw,
     )
 
 
@@ -152,6 +164,10 @@ def main():
                     help="churn accounting only (no chip time)")
     ap.add_argument("--fine", action="store_true",
                     help="also measure the round-2 fine buckets")
+    ap.add_argument("--pocket", action="store_true",
+                    help="also measure the big cover buckets with the "
+                         "reference's crop_beyond pocket compaction and "
+                         "report an alternate weighted headline")
     ap.add_argument("--steps", type=int, default=STEPS)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
@@ -222,6 +238,57 @@ def main():
         f"x{np.mean(pad_area):.2f} mean padding)", file=sys.stderr,
     )
 
+    if args.pocket:
+        # Alternate headline: big receptors (NR > POCKET_CAPACITY) run with
+        # the reference's own crop_beyond approximation realized as in-jit
+        # gather-compaction (PERF.md "Pocket compaction"). Same plan as the
+        # default headline for every other bucket. Opt-in because
+        # crop_beyond is not part of the reference default recipe.
+        ppipe = _make_pipeline(args.steps, pocket=True)
+        pocket_measured = dict(measured)
+        for nl, nr, nb, poses in COVER_LADDER:
+            if nr <= POCKET_CAPACITY:
+                continue
+            pps, dt, compile_time = _bench_bucket(
+                ppipe, nl, nr, nb, poses, args.reps
+            )
+            pocket_measured[(nl, nr, nb, poses)] = dt
+            print(
+                f"# pocket bucket nl={nl} nr={nr} P={poses} "
+                f"(crop {POCKET_CROP_BEYOND}, cap {POCKET_CAPACITY}): "
+                f"compile {compile_time:.1f}s, steady {dt:.2f}s/batch -> "
+                f"{pps:.2f} poses/s", file=sys.stderr,
+            )
+            details[f"pocket_{nl}x{nr}"] = {
+                "bucket": {"nl": nl, "nr": nr, "nb": nb},
+                "poses_in_flight": poses,
+                "steps": args.steps,
+                "crop_beyond": POCKET_CROP_BEYOND,
+                "pocket_capacity": POCKET_CAPACITY,
+                "compile_s": round(compile_time, 1),
+                "steady_s_per_batch": round(dt, 3),
+                "poses_per_sec": round(pps, 3),
+            }
+        p_time = 0.0
+        for nl_c, nr_c in churn_sizes():
+            cov = cover_bucket(nl_c, nr_c, max(1, nl_c // 4))
+            batches = -(-POSES_PER_COMPLEX // cov[3])
+            p_time += batches * pocket_measured[tuple(cov)]
+        w_pocket = total_poses / p_time
+        details["weighted_pocket"] = {
+            "complexes": 150,
+            "poses_per_complex": POSES_PER_COMPLEX,
+            "total_time_s": round(p_time, 1),
+            "poses_per_sec": round(w_pocket, 3),
+            "crop_beyond": POCKET_CROP_BEYOND,
+            "pocket_capacity": POCKET_CAPACITY,
+        }
+        print(
+            f"# weighted (pocket compaction on NR>{POCKET_CAPACITY}): "
+            f"{total_poses} poses in {p_time:.0f}s -> {w_pocket:.2f} "
+            f"poses/s", file=sys.stderr,
+        )
+
     if args.fine:
         for name, nl, nr, nb, poses in (
             ("medium_fine", 64, 1024, 16, 16), ("large_fine", 96, 2304, 32, 8)
@@ -239,27 +306,30 @@ def main():
                 "poses_per_sec": round(pps, 3),
             }
 
+    # merge-preserve rows measured by other modes (--pocket / --fine runs)
+    try:
+        with open("BENCH_DETAILS.json") as f:
+            details = {**json.load(f), **details}
+    except (FileNotFoundError, ValueError):
+        pass
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)
     print("# wrote BENCH_DETAILS.json", file=sys.stderr)
 
     best = details["cover_32x320"]["poses_per_sec"]
-    print(
-        json.dumps(
-            {
-                "metric": "poses_per_sec_weighted",
-                "value": round(weighted, 3),
-                "unit": "poses/s",
-                "vs_baseline": round(
-                    weighted / A100_BASELINE_POSES_PER_SEC, 3
-                ),
-                "best_bucket_poses_per_sec": best,
-                "best_bucket_vs_baseline": round(
-                    best / A100_BASELINE_POSES_PER_SEC, 3
-                ),
-            }
-        )
-    )
+    line = {
+        "metric": "poses_per_sec_weighted",
+        "value": round(weighted, 3),
+        "unit": "poses/s",
+        "vs_baseline": round(weighted / A100_BASELINE_POSES_PER_SEC, 3),
+        "best_bucket_poses_per_sec": best,
+        "best_bucket_vs_baseline": round(
+            best / A100_BASELINE_POSES_PER_SEC, 3
+        ),
+    }
+    if args.pocket:
+        line["weighted_pocket_poses_per_sec"] = round(w_pocket, 3)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

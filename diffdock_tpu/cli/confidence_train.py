@@ -54,6 +54,13 @@ def get_parser():
     p.add_argument("--limit_complexes", type=int, default=0)
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pose_devices", type=int, default=1,
+                   help="shard pose GENERATION (phase 1 — the score-model "
+                        "sweep over the train split, the longest "
+                        "preprocessing job, reference "
+                        "confidence/dataset.py:212-273) over this many "
+                        "devices (1-axis jax mesh). 0 = all visible "
+                        "devices; 1 (default) = single-device")
     return p
 
 
@@ -101,13 +108,21 @@ def main(argv=None):
             jax.random.PRNGKey(0), jax.tree.map(jnp.asarray, d0),
             jnp.asarray(d0.lig_pos), jnp.asarray(0.5), so3, torus,
         )
+    mesh = None
+    n_dev = args.pose_devices
+    if n_dev == 0:
+        n_dev = len(jax.devices())
+    if n_dev > 1:
+        from diffdock_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_dev)
     pipeline = DockingPipeline(
         score_cfg, sp,
         SamplerConfig(
             inference_steps=args.inference_steps,
             actual_steps=args.inference_steps,
         ),
-        so3_tables=so3, torus_tables=torus,
+        so3_tables=so3, torus_tables=torus, mesh=mesh,
     )
 
     # --- dataset (AAComplexData when --all_atoms: the reference's default

@@ -32,6 +32,9 @@ def test_label_modes():
     ["--rmsd_classification_cutoff", "2.0", "5.0"],
     ["--rmsd_prediction"],
     ["--all_atoms"],
+    # pose GENERATION sharded over the virtual 8-CPU-device mesh (the
+    # longest preprocessing job, reference confidence/dataset.py:212-273)
+    ["--pose_devices", "0"],
 ])
 def test_confidence_train_cli_synthetic(tmp_path, extra):
     from diffdock_tpu.cli.confidence_train import main

@@ -230,6 +230,7 @@ def _bucket_capture_pipeline(bucket_ladder):
     pipe = DockingPipeline.__new__(DockingPipeline)
     pipe.pre_crop_radius = None
     pipe.pocket_capacity = None
+    pipe.mesh = None
     pipe.bucket_ladder = bucket_ladder
     pipe.score_cfg = cfg
     pipe.confidence_cfg = None
