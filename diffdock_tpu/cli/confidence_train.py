@@ -54,6 +54,12 @@ def get_parser():
     p.add_argument("--limit_complexes", type=int, default=0)
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="shard phase-2 confidence TRAINING batches over "
+                        "this many devices (data-parallel mesh, pmean "
+                        "gradient sync, globally-aggregated batch norm). "
+                        "0 = all visible devices; 1 (default) = "
+                        "single-device")
     p.add_argument("--pose_devices", type=int, default=1,
                    help="shard pose GENERATION (phase 1 — the score-model "
                         "sweep over the train split, the longest "
@@ -234,6 +240,9 @@ def main(argv=None):
         rmsd_prediction=args.rmsd_prediction,
         samples_per_complex=args.samples_per_complex, lr=args.lr,
     )
+    dp_dev = args.data_parallel
+    if dp_dev == 0:
+        dp_dev = len(jax.devices())
     conf_cfg = training_model_config(
         ScoreModelConfig(
             ns=args.ns, nv=args.nv, num_conv_layers=args.num_conv_layers,
@@ -241,7 +250,7 @@ def main(argv=None):
             confidence_mode=True, all_atoms=args.all_atoms,
             num_confidence_outputs=tcfg.num_outputs,
         ),
-        data_parallel=False,
+        data_parallel=dp_dev > 1,
     )
     conf_model = build_model(conf_cfg)
     name0 = next(iter(datas))
@@ -253,9 +262,26 @@ def main(argv=None):
         jnp.asarray(0.0), so3, torus,
     )
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
-    train_step, tx = make_confidence_train_step(conf_model, tcfg, so3, torus)
-    train_step = jax.jit(train_step)
+    if dp_dev > 1:
+        from diffdock_tpu.parallel.mesh import (
+            make_mesh,
+            shard_confidence_train_step,
+        )
+        from diffdock_tpu.train.trainer import DP_AXIS
+
+        train_step, tx = make_confidence_train_step(
+            conf_model, tcfg, so3, torus, dp_axis=DP_AXIS
+        )
+        train_step = shard_confidence_train_step(train_step, make_mesh(dp_dev))
+    else:
+        train_step, tx = make_confidence_train_step(
+            conf_model, tcfg, so3, torus
+        )
+        train_step = jax.jit(train_step)
     opt_state = tx.init(params)
+    # sharded batches need a leading dim divisible by the mesh size; wrap
+    # indices to fill the last partial batch (duplicates are harmless)
+    step_bs = -(-args.batch_size // dp_dev) * dp_dev
 
     names = list(datas.keys())
     rng_np = np.random.RandomState(args.seed)
@@ -266,8 +292,10 @@ def main(argv=None):
     for epoch in range(args.n_epochs):
         order = rng_np.permutation(len(names))
         losses, accs = [], []
-        for start in range(0, len(order), args.batch_size):
-            idx = order[start : start + args.batch_size]
+        for start in range(0, len(order), step_bs):
+            idx = order[start : start + step_bs]
+            if len(idx) % dp_dev:
+                idx = np.resize(idx, step_bs)
             batch_names = [names[j] for j in idx]
             stacked = jax.tree.map(
                 lambda *xs: jnp.stack(xs), *[datas[n] for n in batch_names]

@@ -158,13 +158,15 @@ def bucket_sizes(
 
 
 def pad_to(data: ComplexData, nl: int, nr: int, nb: int,
-           kb: int = 4) -> ComplexData:
+           kb: int = 4, kr: int = 0) -> ComplexData:
     """Pad a ComplexData to bucket sizes (host-side, numpy).
 
     ``kb`` additionally normalizes the bonded-neighbor width (max bond
     degree of the molecule, data-dependent) to ``max(kb, current)`` so
     complexes featurized from different molecules stack into one batch;
     4 covers standard organics, hypervalent atoms grow it per molecule.
+    ``kr`` does the same for the receptor kNN width (data-dependent for
+    receptors smaller than the kNN cap + 1 residues).
     """
 
     def pad(a, target_rows, fill=0, cols=None):
@@ -177,6 +179,7 @@ def pad_to(data: ComplexData, nl: int, nr: int, nb: int,
     cur_nl, cur_nr, cur_nb = data.lig_cat.shape[0], data.rec_cat.shape[0], data.rot_u.shape[0]
     assert nl >= cur_nl and nr >= cur_nr and nb >= cur_nb
     kb = max(kb, data.lig_bond_nbr.shape[1])
+    kr = max(kr, data.rec_nbr.shape[1])
     mask_rotate = np.asarray(data.mask_rotate)
     mask_rotate = np.pad(
         mask_rotate, [(0, nb - cur_nb), (0, nl - cur_nl)], constant_values=False
@@ -196,8 +199,8 @@ def pad_to(data: ComplexData, nl: int, nr: int, nb: int,
         rec_lm=pad(data.rec_lm, nr),
         rec_mask=pad(data.rec_mask, nr, False),
         rec_pos=pad(data.rec_pos, nr),
-        rec_nbr=pad(data.rec_nbr, nr),
-        rec_nbr_mask=pad(data.rec_nbr_mask, nr, False),
+        rec_nbr=pad(data.rec_nbr, nr, cols=kr),
+        rec_nbr_mask=pad(data.rec_nbr_mask, nr, False, cols=kr),
         original_center=np.asarray(data.original_center),
         rec_scv=(
             None if data.rec_scv is None else pad(data.rec_scv, nr)

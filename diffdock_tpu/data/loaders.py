@@ -106,7 +106,8 @@ def _stack(members, bucket):
     # normalize bonded-neighbor width across molecules (hypervalent atoms
     # can exceed the default 4)
     kb = max(4, *(d.lig_bond_nbr.shape[1] for _, d in members))
-    datas = [pad_to(d, nl, nr, nb, kb=kb) for _, d in members]
+    kr = max(d.rec_nbr.shape[1] for _, d in members)
+    datas = [pad_to(d, nl, nr, nb, kb=kb, kr=kr) for _, d in members]
     def stack_field(f):
         vals = [getattr(d, f) for d in datas]
         if any(v is None for v in vals):

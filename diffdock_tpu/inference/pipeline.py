@@ -333,6 +333,27 @@ class DockingPipeline:
         return self._compiled[key]
 
     # ------------------------------------------------------------------
+    def _pre_crop_host(self, data, aa_data):
+        """Host-side receptor shrink before padding (see ``__init__``)."""
+        if self.pre_crop_radius is None:
+            return data, aa_data
+        keep = np.asarray(
+            rec_keep_mask(
+                np.asarray(data.rec_pos), np.asarray(data.rec_mask),
+                np.asarray(data.lig_pos)[None], np.asarray(data.lig_mask),
+                self.pre_crop_radius,
+            )
+        )
+        if keep.all():
+            return data, aa_data
+        data = crop_complex(jax.tree.map(np.asarray, data), keep)
+        if aa_data is not None:
+            aa_data = crop_aa_complex(
+                jax.tree.map(np.asarray, aa_data), keep
+            )._replace(base=data)
+        return data, aa_data
+
+    # ------------------------------------------------------------------
     def dock_complex(
         self,
         data: ComplexData,
@@ -354,20 +375,7 @@ class DockingPipeline:
         all poses in one program — except in cover-ladder mode, where the
         chunk defaults to the ladder entry's poses-in-flight (and any
         explicit batch_size is capped there, the HBM-safety bound)."""
-        if self.pre_crop_radius is not None:
-            keep = np.asarray(
-                rec_keep_mask(
-                    np.asarray(data.rec_pos), np.asarray(data.rec_mask),
-                    np.asarray(data.lig_pos)[None], np.asarray(data.lig_mask),
-                    self.pre_crop_radius,
-                )
-            )
-            if not keep.all():
-                data = crop_complex(jax.tree.map(np.asarray, data), keep)
-                if aa_data is not None:
-                    aa_data = crop_aa_complex(
-                        jax.tree.map(np.asarray, aa_data), keep
-                    )._replace(base=data)
+        data, aa_data = self._pre_crop_host(data, aa_data)
         nl, nr, nb = bucket_sizes(data.n_lig, data.n_rec, data.n_bonds)
         ladder_poses = None
         if self.bucket_ladder == "cover":
@@ -476,6 +484,203 @@ class DockingPipeline:
             affinity=float(affinity) if has_aff else None,
             trajectory=trajectory,
         )
+
+    # ------------------------------------------------------------------
+    def _batch_program(self, num_poses: int, with_aa: bool):
+        """Complex-parallel docking over ``self.mesh``: the COMPLEX axis is
+        sharded (one complex per device), each device runs the full
+        single-complex program on its own complex with a per-complex RNG,
+        and there are no collectives at all (the pose-set affinity is
+        per-complex). The multi-chip layout for evaluation sweeps — the
+        reference processes complexes strictly sequentially
+        (``evaluate.py:355-527``)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        (axis_name,) = self.mesh.axis_names
+        base = self._program(num_poses, with_aa, False)
+
+        def local(all_params, keys, datas, aa_datas, pockets):
+            def one(key, data, aa, pocket):
+                return base(all_params, key, data, aa, pocket)
+
+            return jax.vmap(
+                one, in_axes=(0, 0, 0 if with_aa else None, 0)
+            )(keys, datas, aa_datas, pockets)
+
+        sharded = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(
+                P(), P(axis_name), P(axis_name),
+                P(axis_name) if with_aa else P(), P(axis_name),
+            ),
+            out_specs=(P(axis_name),) * 4,
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    def dock_batch(
+        self,
+        datas,
+        num_poses: int = 10,
+        seed: int = 0,
+        aa_datas=None,
+        pocket_centers=None,
+        batch_size: Optional[int] = None,
+    ):
+        """Dock SEVERAL complexes concurrently, one complex per mesh device
+        (complex-axis sharding; ``_batch_program``). With no mesh (or a
+        1-device mesh) this degrades to a sequential ``dock_complex`` loop
+        (per-complex seeds; the RNG streams differ from the sharded layout,
+        as they do between any two pose-batch layouts).
+
+        Complexes are grouped into mesh-size chunks by ascending size
+        (one padded bucket per chunk — the chunk bucket covers its largest
+        member), each chunk executes its poses in ladder-bounded
+        pose-chunks, and results return in INPUT order.
+        """
+        n = len(datas)
+        aa_list = aa_datas if aa_datas is not None else [None] * n
+        pk_list = (
+            pocket_centers if pocket_centers is not None else [None] * n
+        )
+        assert len(aa_list) == n and len(pk_list) == n
+        if self.mesh is None or self.mesh.size == 1:
+            return [
+                self.dock_complex(
+                    d, num_poses=num_poses, seed=seed + i, aa_data=aa,
+                    pocket_center=pk, batch_size=batch_size,
+                )
+                for i, (d, aa, pk) in enumerate(zip(datas, aa_list, pk_list))
+            ]
+
+        ndev = self.mesh.size
+        with_aa = self._confidence_all_atoms
+        if with_aa:
+            assert all(a is not None for a in aa_list), (
+                "all-atom confidence needs aa_datas"
+            )
+
+        cropped = [
+            self._pre_crop_host(d, a) for d, a in zip(datas, aa_list)
+        ]
+        # group same-size complexes together so chunk buckets stay tight
+        order = sorted(
+            range(n),
+            key=lambda i: bucket_sizes(
+                cropped[i][0].n_lig, cropped[i][0].n_rec,
+                cropped[i][0].n_bonds,
+            ),
+        )
+        results: list = [None] * n
+        for start in range(0, n, ndev):
+            idxs = order[start : start + ndev]
+            pad_idxs = idxs + [idxs[-1]] * (ndev - len(idxs))
+            members = [cropped[i] for i in pad_idxs]
+
+            nl, nr, nb = (
+                max(
+                    bucket_sizes(d.n_lig, d.n_rec, d.n_bonds)[k]
+                    for d, _ in members
+                )
+                for k in range(3)
+            )
+            chunk = batch_size
+            if self.bucket_ladder == "cover":
+                from diffdock_tpu.inference.ladder import cover_bucket
+
+                cov = cover_bucket(nl, nr, nb)
+                if cov is not None:
+                    nl, nr, nb = cov[:3]
+                    # the ladder's P is a per-chip bound; each device holds
+                    # exactly one complex here, so it applies directly
+                    chunk = min(chunk, cov[3]) if chunk else cov[3]
+
+            # normalize the data-dependent widths (max bond degree, receptor
+            # kNN column count) across chunk members so the trees stack
+            kb = max(4, *(d.lig_bond_nbr.shape[1] for d, _ in members))
+            kr = max(d.rec_nbr.shape[1] for d, _ in members)
+            padded = jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[
+                    jax.tree.map(
+                        jnp.asarray, pad_to(d, nl, nr, nb, kb=kb, kr=kr)
+                    )
+                    for d, _ in members
+                ],
+            )
+            if with_aa:
+                na = max(
+                    max(_round_up(a.n_atoms, 256), 256) for _, a in members
+                )
+                padded_aa = jax.tree.map(
+                    lambda *xs: jnp.stack(xs),
+                    *[
+                        jax.tree.map(
+                            jnp.asarray, pad_aa_to(a, nl, nr, nb, na)
+                        )
+                        for _, a in members
+                    ],
+                )
+                bucket = (nl, nr, nb, na)
+            else:
+                padded_aa, bucket = None, (nl, nr, nb, 0)
+
+            pockets = jnp.stack([
+                jnp.zeros((4,), jnp.float32)
+                if pk_list[i] is None
+                else jnp.concatenate([
+                    jnp.asarray(pk_list[i], jnp.float32).reshape(3),
+                    jnp.ones((1,), jnp.float32),
+                ])
+                for i in pad_idxs
+            ])
+
+            pchunk = min(chunk, num_poses) if chunk else num_poses
+            n_chunks = -(-num_poses // pchunk)
+            key = ("cbatch", bucket, pchunk, with_aa)
+            if key not in self._compiled:
+                self._compiled[key] = self._batch_program(pchunk, with_aa)
+            fn = self._compiled[key]
+
+            pose_parts, conf_parts, aff_parts = [], [], []
+            for c in range(n_chunks):
+                keys = jnp.stack([
+                    jax.random.fold_in(
+                        jax.random.PRNGKey(seed * 100003 + c), i
+                    )
+                    for i in pad_idxs
+                ])
+                poses, conf, affinity, _ = fn(
+                    (self.score_params, self.confidence_params),
+                    keys, padded, padded_aa, pockets,
+                )
+                pose_parts.append(np.asarray(poses))
+                conf_parts.append(np.asarray(conf))
+                aff_parts.append(np.asarray(affinity))
+            all_poses = np.concatenate(pose_parts, axis=1)[:, :num_poses]
+            all_conf = np.concatenate(conf_parts, axis=1)[:, :num_poses]
+            all_aff = np.mean(np.stack(aff_parts), axis=0)
+
+            has_conf = self.confidence_model is not None
+            has_aff = has_conf and self.confidence_cfg.affinity_prediction
+            for j, i in enumerate(idxs):
+                d = cropped[i][0]
+                n_real = d.n_lig
+                center = np.asarray(d.original_center)
+                poses_i = all_poses[j, :, :n_real] + center[None, None]
+                conf_i = all_conf[j]
+                results[i] = DockingResult(
+                    poses=poses_i,
+                    confidence=conf_i if has_conf else None,
+                    order=(
+                        np.argsort(-conf_i)
+                        if has_conf else np.arange(num_poses)
+                    ),
+                    affinity=float(all_aff[j]) if has_aff else None,
+                )
+        return results
 
     # ------------------------------------------------------------------
     def dock_files(

@@ -59,6 +59,29 @@ def shard_train_step(
     return jax.jit(sharded)
 
 
+def shard_confidence_train_step(
+    train_step: Callable, mesh: Mesh, axis_name: str = DP_AXIS
+) -> Callable:
+    """Data-parallel wrapper for the confidence train step (built with
+    ``dp_axis=axis_name``): the batch tuple (stacked complexes, poses,
+    labels) is sharded on its leading axis; params / batch_stats /
+    opt_state / rng replicated. Gradients are pmean-ed inside the step."""
+    from jax import shard_map
+
+    sharded = shard_map(
+        train_step,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(),
+            (P(axis_name), P(axis_name), P(axis_name)),
+            P(),
+        ),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def shard_pose_sampler(
     sample_fn: Callable, mesh: Mesh, axis_name: str = DP_AXIS
 ) -> Callable:

@@ -122,12 +122,21 @@ def load_pose_cache(
     return np.concatenate(poses), np.concatenate(rmsds)
 
 
-def make_confidence_train_step(model, cfg: ConfidenceTrainConfig, so3, torus):
+def make_confidence_train_step(
+    model, cfg: ConfidenceTrainConfig, so3, torus, dp_axis=None
+):
     """Confidence training step over a batch of (complex, pose, label):
     BCE for a single cutoff, softmax CE over RMSD bins for several, MSE for
     rmsd_prediction (reference ``confidence_train.py:111-142``).
 
     ``batch``: (datas stacked, poses (B, NL, 3), labels (B,)).
+
+    ``dp_axis``: name of a mesh axis this step runs under (via
+    ``parallel.mesh.shard_confidence_train_step``) — gradients and metrics
+    are ``pmean``-ed over it and each shard folds its mesh index into the
+    dropout rng. The model's ``bn_axis_names`` must include the axis so
+    batch-norm statistics aggregate globally (device-count-invariant
+    training, same contract as the score trainer).
     """
     import optax
 
@@ -136,6 +145,8 @@ def make_confidence_train_step(model, cfg: ConfidenceTrainConfig, so3, torus):
 
     def train_step(params, batch_stats, opt_state, batch, rng):
         datas, poses, labels = batch
+        if dp_axis is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(dp_axis))
 
         def loss_fn(p):
             def one(data, pos, dkey):
@@ -176,6 +187,10 @@ def make_confidence_train_step(model, cfg: ConfidenceTrainConfig, so3, torus):
         (loss, (acc, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
+        if dp_axis is not None:
+            grads = jax.lax.pmean(grads, dp_axis)
+            loss = jax.lax.pmean(loss, dp_axis)
+            acc = jax.lax.pmean(acc, dp_axis)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_stats, opt_state, {"loss": loss, "accuracy": acc}

@@ -35,6 +35,8 @@ def test_label_modes():
     # pose GENERATION sharded over the virtual 8-CPU-device mesh (the
     # longest preprocessing job, reference confidence/dataset.py:212-273)
     ["--pose_devices", "0"],
+    # phase-2 TRAINING data-parallel over the virtual mesh
+    ["--data_parallel", "0"],
 ])
 def test_confidence_train_cli_synthetic(tmp_path, extra):
     from diffdock_tpu.cli.confidence_train import main
@@ -177,3 +179,84 @@ def test_confidence_step_learns():
     assert not np.allclose(losses[0], np.log(2.0), atol=1e-4) or \
         losses[-1] < losses[0] - 0.05, f"loss frozen at chance: {losses[:3]}"
     assert losses[-1] < 0.55, f"no learning: {losses[0]:.3f}->{losses[-1]:.3f}"
+
+
+def test_confidence_data_parallel_matches_single_device():
+    """The dp=8-sharded confidence step must produce the same update as
+    the single-device step on the same global batch: dropout is 0, so the
+    only dp-dependent pieces are the grad pmean and the cross-device BN
+    aggregation — both exact up to float reassociation."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffdock_tpu.data.complexes import synthetic_complex
+    from diffdock_tpu.diffusion.so3 import SO3Config, get_so3_tables
+    from diffdock_tpu.diffusion.torus import TorusConfig, get_torus_tables
+    from diffdock_tpu.models.config import ScoreModelConfig
+    from diffdock_tpu.models.factory import build_model
+    from diffdock_tpu.parallel.mesh import (
+        make_mesh, shard_confidence_train_step,
+    )
+    from diffdock_tpu.train.confidence import make_confidence_train_step
+    from diffdock_tpu.train.trainer import DP_AXIS, training_model_config
+
+    so3 = get_so3_tables(SO3Config(n_eps=64, x_n=256, l_max=512))
+    torus = get_torus_tables(TorusConfig(x_n=256, sigma_n=128,
+                                         mc_samples=2000))
+    rng = np.random.RandomState(1)
+    data = synthetic_complex(rng, n_lig=10, n_rec=24, n_bonds=2)
+    tcfg = ConfidenceTrainConfig(rmsd_classification_cutoff=(2.0,), lr=1e-3)
+    base = ScoreModelConfig(ns=8, nv=2, num_conv_layers=2,
+                            num_prot_emb_layers=0, confidence_mode=True,
+                            num_confidence_outputs=1)
+    B = 8
+    poses = np.stack([
+        np.asarray(data.lig_pos) + (0 if i % 2 == 0
+                                    else rng.randn(3) * 8 + 20)
+        for i in range(B)
+    ]).astype(np.float32)
+    labels = jnp.asarray([1.0, 0.0] * (B // 2))
+    datas = jax.tree.map(lambda x: jnp.stack([jnp.asarray(x)] * B), data)
+    batch = (datas, jnp.asarray(poses), labels)
+
+    out = {}
+    for mode in ("single", "dp"):
+        cfg = training_model_config(base, data_parallel=(mode == "dp"))
+        model = build_model(cfg)
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(7), data, jnp.asarray(poses[0]),
+            jnp.asarray(0.0), so3, torus,
+        )
+        params = variables["params"]
+        stats = variables.get("batch_stats", {})
+        if mode == "dp":
+            step, tx = make_confidence_train_step(
+                model, tcfg, so3, torus, dp_axis=DP_AXIS
+            )
+            step = shard_confidence_train_step(step, make_mesh(8))
+        else:
+            step, tx = make_confidence_train_step(model, tcfg, so3, torus)
+            step = jax.jit(step)
+        opt = tx.init(params)
+        for i in range(2):
+            params, stats, opt, m = step(params, stats, opt, batch,
+                                         jax.random.PRNGKey(i))
+        out[mode] = (params, stats, float(m["loss"]), float(m["accuracy"]))
+
+    # Tolerance rationale: adam normalizes each update to ~lr*sign(g), so
+    # on leaves whose grads are near zero, float reassociation of the
+    # pmean can flip the sign and the two layouts diverge by ~lr per step
+    # — a property of (adam, tiny grads), not a sync bug. Step-2
+    # quantities run on those perturbed params and inherit ~lr-scale
+    # differences. A missing grad pmean or BN dp-axis aggregation is a
+    # O(1) divergence and still fails every bound below.
+    np.testing.assert_allclose(out["single"][2], out["dp"][2], rtol=3e-3)
+    np.testing.assert_allclose(out["single"][3], out["dp"][3], rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(out["single"][1]),
+                    jax.tree.leaves(out["dp"][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-3, atol=5e-4)
+    for a, b in zip(jax.tree.leaves(out["single"][0]),
+                    jax.tree.leaves(out["dp"][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=4e-3)

@@ -40,6 +40,38 @@ def test_evaluate_pdbbind_mode(tmp_path):
     assert rmsds.shape == (1, 2) and np.isfinite(rmsds).all()
 
 
+def test_evaluate_complex_parallel(tmp_path):
+    """--complex_devices: two complexes docked concurrently, one per
+    device of the virtual mesh (dock_batch), with amortized run_times and
+    the same artifact contract as the sequential path."""
+    for name in ("6w70", "6w71"):
+        root = tmp_path / "pdbbind" / name
+        root.mkdir(parents=True)
+        shutil.copy(EXAMPLE_PDB, root / f"{name}_protein_processed.pdb")
+        shutil.copy(EXAMPLE_SDF, root / f"{name}_ligand.sdf")
+
+    from diffdock_tpu.cli.evaluate import main
+
+    out = tmp_path / "eval"
+    rc = main([
+        "--data_dir", str(tmp_path / "pdbbind"),
+        "--out_dir", str(out),
+        "--cache_path", str(tmp_path / "cache"),
+        "--samples_per_complex", "2",
+        "--inference_steps", "2", "--actual_steps", "2",
+        "--model_preset", "diffdock_s",
+        "--compute_dtype", "float32",
+        "--complex_devices", "2",
+    ])
+    assert rc == 0
+    rmsds = np.load(out / "rmsds.npy")
+    assert rmsds.shape == (2, 2) and np.isfinite(rmsds).all()
+    rt = np.load(out / "run_times.npy")
+    # amortized chunk wall-clock: both members of the chunk share it
+    assert rt.shape == (2,) and np.isfinite(rt).all()
+    np.testing.assert_allclose(rt[0], rt[1])
+
+
 def test_evaluate_posebusters_mode_with_gnina(tmp_path):
     """Posebusters layout ({name}_protein.pdb, {name}_ligand.sdf,
     alternative GTs in {name}_ligands.sdf) + gnina rescoring via a fake
