@@ -172,6 +172,14 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
+    # Enable the persistent cache BEFORE the first jit (model.init inside
+    # _make_pipeline) so the init program is cached too, not just the dock
+    # programs that DockingPipeline compiles after enabling it itself.
+    if not args.churn:
+        from diffdock_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
+
     details = {"churn": run_churn()}
     if args.churn:
         # accounting-only mode: refresh the churn dict without destroying
