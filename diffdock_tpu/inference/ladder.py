@@ -30,20 +30,32 @@ from typing import Tuple
 #
 # Entries were selected by greedy search against the 150-complex churn
 # distribution using the round-3 measured cost model
-# t_pose ~ 3.42e-6 * (nl*nr) + 0.0094 s (BENCH_DETAILS fit), then the
-# full ladder was re-measured on an idle chip: 9.63 poses/s weighted vs
-# 6.55 for the previous 4-bucket ladder (BENCH_DETAILS.json). Measured
-# per-complex times (40 poses) ascend monotonically down the ladder, so
-# first-fit == fastest-fit holds on measured data, not just the model.
+# t_pose ~ 3.42e-6 * (nl*nr) + 0.0094 s (BENCH_DETAILS fit), restricted
+# to the fine-ladder bucket grid (data/complexes.py LIG/REC_BUCKETS).
+# v1 (10 buckets) measured 9.63 poses/s weighted vs 6.55 for the
+# previous 4-bucket ladder. v2 (this one) adds the 6 grid points with
+# the largest remaining padding reduction — model-predicted +16%
+# weighted at x1.9 mean padding (vs x2.54) — now that the persistent
+# compile cache (utils/compile_cache.py + the prewarm CLI) makes each
+# extra program a one-time ~30-60 s disk-cached load rather than a
+# minutes-long cold compile per sweep. Modeled per-complex times
+# (40 poses) ascend monotonically down the ladder, so first-fit ==
+# fastest-fit (pinned by tests/test_ladder.py).
 # Ordered fastest-fit-first (ascending per-complex time).
 COVER_LADDER: Tuple[Tuple[int, int, int, int], ...] = (
+    (32, 192, 16, 40),
     (32, 320, 16, 40),
+    (16, 704, 16, 40),
+    (32, 448, 16, 40),
     (48, 320, 16, 40),
     (32, 704, 16, 40),
+    (24, 1024, 16, 40),
     (64, 448, 16, 40),
     (32, 1024, 16, 40),
     (48, 704, 16, 40),
     (48, 1024, 16, 20),
+    (32, 1536, 16, 20),
+    (64, 1024, 16, 20),
     (32, 2304, 16, 20),
     (64, 1536, 16, 10),
     (96, 2304, 32, 8),
