@@ -34,8 +34,8 @@ from typing import Tuple
 # to the fine-ladder bucket grid (data/complexes.py LIG/REC_BUCKETS).
 # v1 (10 buckets) measured 9.63 poses/s weighted vs 6.55 for the
 # previous 4-bucket ladder. v2 (this one) adds the 6 grid points with
-# the largest remaining padding reduction — model-predicted +16%
-# weighted at x1.9 mean padding (vs x2.54) — now that the persistent
+# the largest remaining padding reduction — measured on an idle chip:
+# 11.04 poses/s weighted (+14.6%) at x2.02 mean padding — now that the persistent
 # compile cache (utils/compile_cache.py + the prewarm CLI) makes each
 # extra program a one-time ~30-60 s disk-cached load rather than a
 # minutes-long cold compile per sweep. Modeled per-complex times

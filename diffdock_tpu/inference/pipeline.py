@@ -85,7 +85,7 @@ class DockingPipeline:
         ladder of ``data/complexes.py`` (minimal padding FLOPs — right for
         single complexes and repeated same-size runs); ``"cover"`` pads to
         the first fitting entry of ``inference/ladder.COVER_LADDER`` so a
-        whole evaluation sweep compiles at most ~10 programs instead of
+        whole evaluation sweep compiles at most 16 programs instead of
         ~38 (the bench.py weighted-headline plan; oversize complexes fall
         back to the fine ladder).
 
