@@ -13,6 +13,10 @@ constants, ``inference/pipeline.py:_program``), the cache entries are
 weight-independent: prewarming with randomly-initialized parameters warms
 the cache for any checkpoint of the same architecture.
 
+Cache keys DO depend on the step counts: ``--inference_steps`` /
+``--actual_steps`` must match the sweep you are warming for (the default
+20/19 is the reference inference recipe; ``bench.py`` runs 20/20).
+
 The reference has no analogue (torch eager pays no compile wall).
 """
 
