@@ -161,7 +161,24 @@ def load_pipeline(args):
     sampler_cfg = sampler_config_from_args(args)
 
     if args.model_dir:
-        params, cfg, _ = load_checkpoint(args.model_dir, args.ckpt)
+        from diffdock_tpu.utils.download import (
+            ensure_downloaded,
+            prepare_model_dir,
+        )
+
+        # reference inference.py:123-143: fetch released weights when the
+        # dir is absent; then (TPU-side extra) convert a reference-format
+        # dir to native msgpack once, via the signed-off importer
+        files = ensure_downloaded(args.model_dir)
+        if files:
+            print(f"downloaded {len(files)} files for {args.model_dir}",
+                  file=sys.stderr)
+        model_dir = prepare_model_dir(
+            args.model_dir, args.ckpt,
+            old=getattr(args, "old_score_model", False),
+        )
+        ckpt = args.ckpt if model_dir == args.model_dir else None
+        params, cfg, _ = load_checkpoint(model_dir, ckpt)
     else:
         print(
             "WARNING: no --model_dir given; using RANDOM weights "
@@ -197,9 +214,21 @@ def load_pipeline(args):
 
     conf_cfg = conf_params = None
     if args.confidence_model_dir:
-        conf_params, conf_cfg, _ = load_checkpoint(
-            args.confidence_model_dir, args.confidence_ckpt
+        from diffdock_tpu.utils.download import prepare_model_dir
+
+        # the released zip (ensure_downloaded above) also carries the
+        # confidence run dir; the shipped default is the v1.0 ("old")
+        # architecture (reference inference.py:84)
+        conf_dir = prepare_model_dir(
+            args.confidence_model_dir, args.confidence_ckpt,
+            confidence_mode=True,
+            old=getattr(args, "old_confidence_model", False),
         )
+        conf_ckpt = (
+            args.confidence_ckpt
+            if conf_dir == args.confidence_model_dir else None
+        )
+        conf_params, conf_cfg, _ = load_checkpoint(conf_dir, conf_ckpt)
 
     mesh = None
     n_dev = getattr(args, "pose_devices", 1)
