@@ -81,33 +81,49 @@ def mol_from_smiles(smiles: str, seed: int = 0) -> Molecule:
     return molecule_from_rdkit(rd)
 
 
-def fold_sequence(sequence: str, out_path: str) -> str:
+def fold_sequence(sequence: str, out_path: str, model=None) -> str:
     """Sequence -> structure via ESMFold (reference
-    ``generate_ESM_structure``). Requires locally cached weights (no network
-    egress in this image); raises an actionable error otherwise."""
+    ``generate_ESM_structure``, ``utils/inference_utils.py:87-115``).
+
+    ``model`` is any ``EsmForProteinFolding`` instance (injectable: a tiny
+    random-config model in tests, a CPU/GPU full model in production); when
+    absent, loads ``facebook/esmfold_v1`` from the local HF cache only (no
+    network egress in this image) and raises an actionable error otherwise.
+    ``infer_pdbs`` tokenizes internally, so no tokenizer download is needed.
+    """
     try:
         import torch
-        from transformers import AutoTokenizer, EsmForProteinFolding
+        from transformers import EsmForProteinFolding
     except Exception as e:
         raise RuntimeError(f"transformers unavailable for ESMFold: {e}") from e
-    try:
-        tok = AutoTokenizer.from_pretrained(
-            "facebook/esmfold_v1", local_files_only=True
-        )
-        model = EsmForProteinFolding.from_pretrained(
-            "facebook/esmfold_v1", local_files_only=True
-        ).eval()
-    except Exception as e:
-        raise RuntimeError(
-            "ESMFold weights not in local HF cache; provide --protein_path "
-            "with a PDB structure instead of a bare sequence"
-        ) from e
+    if model is None:
+        try:
+            model = EsmForProteinFolding.from_pretrained(
+                "facebook/esmfold_v1", local_files_only=True
+            ).eval()
+        except Exception as e:
+            raise RuntimeError(
+                "ESMFold weights not in local HF cache; provide "
+                "--protein_path with a PDB structure instead of a bare "
+                "sequence"
+            ) from e
     with torch.no_grad():
-        inputs = tok([sequence], return_tensors="pt", add_special_tokens=False)
-        pdb_text = model.infer_pdbs(**inputs)[0]
+        pdb_text = model.infer_pdbs([sequence])[0]
     with open(out_path, "w") as f:
         f.write(pdb_text)
     return out_path
+
+
+def make_esmfold_folder(model=None):
+    """A folder callable for :class:`InferenceDatasetBuilder` bound to one
+    ESMFold instance (loaded once, reused across specs — the reference keeps
+    one ``esm.pretrained.esmfold_v1()`` alive for the whole CSV,
+    ``inference_utils.py:87-90``)."""
+
+    def _folder(sequence: str, out_path: str) -> str:
+        return fold_sequence(sequence, out_path, model=model)
+
+    return _folder
 
 
 def read_ligand_description(desc: str, seed: int = 0) -> Molecule:

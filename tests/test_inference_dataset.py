@@ -116,6 +116,57 @@ def test_sequence_input_with_mock_folder(tmp_path):
     assert (tmp_path / "seq_esmfold.pdb").exists()
 
 
+def _tiny_esmfold():
+    """A real EsmForProteinFolding with a tiny random config: exercises the
+    genuine transformers ESMFold code path (internal tokenization, folding
+    trunk, structure module, PDB writer) without the 3B-parameter weights."""
+    from transformers import EsmForProteinFolding
+    from transformers.models.esm.configuration_esm import (
+        EsmConfig,
+        EsmFoldConfig,
+        StructureModuleConfig,
+        TrunkConfig,
+    )
+
+    sm = StructureModuleConfig(
+        sequence_dim=32, pairwise_dim=16, ipa_dim=8, resnet_dim=8,
+        num_heads_ipa=2, num_blocks=1, num_resnet_blocks=1,
+    )
+    trunk = TrunkConfig(
+        num_blocks=1, sequence_state_dim=32, pairwise_state_dim=16,
+        sequence_head_width=16, pairwise_head_width=8, structure_module=sm,
+    )
+    cfg = EsmConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, vocab_size=33, is_folding_model=True,
+        esmfold_config=EsmFoldConfig(trunk=trunk, fp16_esm=False),
+        pad_token_id=1, mask_token_id=32,
+        position_embedding_type="rotary",
+    )
+    import torch
+
+    torch.manual_seed(0)
+    return EsmForProteinFolding(cfg).eval()
+
+
+def test_sequence_input_with_real_esmfold_code(tmp_path):
+    """The REAL ESMFold code path (not the mock): tiny random-config
+    EsmForProteinFolding -> make_esmfold_folder -> fold -> PDB parse ->
+    featurize. Certifies that with weights present the sequence-input path
+    is exactly this wiring (reference inference_utils.py:87-115)."""
+    from diffdock_tpu.data.inference_dataset import make_esmfold_folder
+
+    folder = make_esmfold_folder(_tiny_esmfold())
+    b = InferenceDatasetBuilder(workdir=str(tmp_path), folder=folder)
+    seq = "MKTAYIAKQRQISFVKSHFSRQ"
+    c = b.build(InferenceSpec("seq", None, seq, EXAMPLE_SDF))
+    assert c.success, c.error
+    assert c.data.n_rec == len(seq)
+    pdb = (tmp_path / "seq_esmfold.pdb").read_text()
+    assert pdb.count(" CA ") == len(seq)
+    assert np.isfinite(c.data.rec_pos).all()
+
+
 @pytest.mark.slow
 def test_sequence_to_dock_end_to_end(tmp_path):
     """spec -> (mock) fold -> featurize -> dock produces finite poses: the
