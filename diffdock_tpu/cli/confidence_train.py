@@ -181,15 +181,32 @@ def main(argv=None):
                 for b in bases.values()
             ]
             nl, nr, nb = (max(b[i] for b in buckets) for i in range(3))
+            # normalize data-dependent widths (max bond degree, kNN column
+            # counts) across complexes so the later jnp.stack batches mixed
+            # molecules (same fix as loaders._stack / dock_batch)
+            kb = max(4, *(b.lig_bond_nbr.shape[1] for b in bases.values()))
+            kr = max(b.rec_nbr.shape[1] for b in bases.values())
             if args.all_atoms:
                 na = max(
                     ((d.n_atoms + 255) // 256) * 256 for d in datas.values()
                 )
+                ka = max(
+                    np.asarray(d.atom_nbr).shape[1] for d in datas.values()
+                )
+                ar = max(
+                    np.asarray(d.res_atom_idx).shape[1]
+                    for d in datas.values()
+                )
                 datas = {
-                    n: pad_aa_to(d, nl, nr, nb, na) for n, d in datas.items()
+                    n: pad_aa_to(d, nl, nr, nb, na,
+                                 kb=kb, kr=kr, ka=ka, ar=ar)
+                    for n, d in datas.items()
                 }
             else:
-                datas = {n: pad_to(d, nl, nr, nb) for n, d in datas.items()}
+                datas = {
+                    n: pad_to(d, nl, nr, nb, kb=kb, kr=kr)
+                    for n, d in datas.items()
+                }
         topo = {}
         for s in specs:
             if s.name in datas:

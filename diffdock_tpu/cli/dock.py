@@ -77,9 +77,12 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--old_score_model", action="store_true", default=False,
                    help="accepted for reference CLI compatibility; the "
                         "architecture is read from the checkpoint config")
-    p.add_argument("--old_confidence_model", action="store_true",
-                   default=True, help="accepted for compatibility (see "
-                                      "--old_score_model)")
+    p.add_argument("--old_confidence_model", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="the released confidence checkpoint is the old "
+                        "architecture (reference inference.py:84); pass "
+                        "--no-old_confidence_model to convert a "
+                        "reference-format NEW-architecture confidence dir")
     p.add_argument("--loglevel", "-l", "--log", dest="loglevel",
                    default="WARNING")
     p.add_argument("--seed", type=int, default=0)
@@ -222,7 +225,7 @@ def load_pipeline(args):
         conf_dir = prepare_model_dir(
             args.confidence_model_dir, args.confidence_ckpt,
             confidence_mode=True,
-            old=getattr(args, "old_confidence_model", False),
+            old=getattr(args, "old_confidence_model", True),
         )
         conf_ckpt = (
             args.confidence_ckpt

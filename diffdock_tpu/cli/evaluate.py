@@ -42,6 +42,10 @@ def get_parser():
                         "map to converted .msgpack flavors)")
     p.add_argument("--confidence_model_dir", default=None)
     p.add_argument("--confidence_ckpt", default=None)
+    p.add_argument("--old_confidence_model", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="reference-format confidence dirs convert as the old "
+                        "architecture (the released default, inference.py:84)")
     p.add_argument("--model_preset", default="diffdock_s")
     p.add_argument("--samples_per_complex", type=int, default=10)
     p.add_argument("--batch_size", type=int, default=None,
@@ -166,9 +170,13 @@ def dock_with_retry(pipeline, data, num_poses, seed, max_retries=3,
                 batch_size=chunk, pocket_center=pocket_center,
             )
         except Exception as e:  # noqa: BLE001 — reference-style halving
-            if (chunk or num_poses) <= 1 or attempt == max_retries - 1:
+            # halve from the poses-in-flight that actually ran (the cover
+            # ladder caps batch_size at its entry's P, so halving from
+            # num_poses could retry the identical failing program)
+            ran = pipeline.effective_pose_chunk(data, num_poses, chunk)
+            if ran <= 1 or attempt == max_retries - 1:
                 raise
-            chunk = max(1, (chunk or num_poses) // 2)
+            chunk = max(1, ran // 2)
             print(f"  retry with pose chunks of {chunk}: "
                   f"{type(e).__name__}: {e}")
     raise RuntimeError("unreachable")
@@ -193,11 +201,22 @@ def main(argv=None):
     )
     from diffdock_tpu.eval.rmsd import molecular_automorphisms, symmetry_rmsd
 
+    # fail fast on a bad names file — emit_metric_tables only reads it
+    # after the (potentially hours-long) sweep has finished
+    if args.no_rec_overlap_names and not os.path.isfile(
+        args.no_rec_overlap_names
+    ):
+        raise SystemExit(
+            f"--no_rec_overlap_names file not found: "
+            f"{args.no_rec_overlap_names}"
+        )
+
     dock_args = argparse.Namespace(
         model_dir=args.model_dir,
         ckpt=args.ckpt,
         confidence_model_dir=args.confidence_model_dir,
         confidence_ckpt=args.confidence_ckpt,
+        old_confidence_model=args.old_confidence_model,
         model_preset=args.model_preset,
         inference_steps=args.inference_steps,
         actual_steps=args.actual_steps,
@@ -318,6 +337,9 @@ def main(argv=None):
         ndev = pipeline.mesh.size
         entries = [(n, get_data(n)) for n in eval_names]
         entries = [(n, d) for n, d in entries if d is not None]
+        # keep the loaded complexes for the main loop: ComplexDataset.get
+        # re-reads the npz on every call
+        data_cache = dict(entries)
         entries.sort(
             key=lambda e: bucket_sizes(e[1].n_lig, e[1].n_rec, e[1].n_bonds)
         )
@@ -346,18 +368,23 @@ def main(argv=None):
     conf_rows, gnina_rmsd_rows, gnina_score_rows = [], [], []
     failures = 0
     for name in eval_names:
-        data = get_data(name)
+        if pre_docked and name in data_cache:
+            data = data_cache[name]
+        else:
+            data = get_data(name)
         if data is None:
             continue
-        pocket_center = (
-            true_pocket_center(data, args.pocket_cutoff)
-            if args.pocket_knowledge else None
-        )
         t0 = time.time()
         try:
             if name in pre_docked:
                 result, amortized = pre_docked[name]
             else:
+                # only needed when actually docking here (the pre-dock
+                # already applied its own pocket centers)
+                pocket_center = (
+                    true_pocket_center(data, args.pocket_cutoff)
+                    if args.pocket_knowledge else None
+                )
                 result = dock_with_retry(
                     pipeline, data, P, args.seed,
                     max_retries=args.max_retries,

@@ -13,9 +13,14 @@ constants, ``inference/pipeline.py:_program``), the cache entries are
 weight-independent: prewarming with randomly-initialized parameters warms
 the cache for any checkpoint of the same architecture.
 
-Cache keys DO depend on the step counts: ``--inference_steps`` /
-``--actual_steps`` must match the sweep you are warming for (the default
-20/19 is the reference inference recipe; ``bench.py`` runs 20/20).
+Cache keys DO depend on the step counts AND the model architectures:
+``--inference_steps`` / ``--actual_steps`` must match the sweep you are
+warming for (the default 20/19 is the reference inference recipe;
+``bench.py`` runs 20/20), and a sweep that ranks with a confidence model
+runs a different program than a confidence-free one — pass the same
+``--model_dir`` / ``--confidence_model_dir`` (configs are read from the
+checkpoints; the weight VALUES still don't matter) or
+``--confidence_preset`` so the warmed HLO is the one the sweep executes.
 
 The reference has no analogue (torch eager pays no compile wall).
 """
@@ -29,6 +34,24 @@ import time
 def get_parser():
     p = argparse.ArgumentParser(description="prewarm XLA compile cache")
     p.add_argument("--model_preset", default="diffdock_l")
+    p.add_argument("--model_dir", default=None,
+                   help="read the score-model config from this native "
+                        "checkpoint dir so the warmed HLO matches the "
+                        "sweep exactly (overrides --model_preset)")
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--confidence_model_dir", default=None,
+                   help="also include the confidence-model apply in the "
+                        "warmed programs, config read from this native "
+                        "checkpoint dir (CG confidence only)")
+    p.add_argument("--confidence_ckpt", default=None)
+    p.add_argument("--confidence_preset", default=None,
+                   help="alternatively build a random confidence model "
+                        "from this preset (confidence_mode, old "
+                        "architecture by default)")
+    p.add_argument("--old_confidence_model",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="architecture for --confidence_preset (the shipped "
+                        "confidence checkpoint is the old architecture)")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--inference_steps", type=int, default=20)
@@ -70,38 +93,79 @@ def main(argv=None) -> int:
     cache_dir = enable_persistent_cache()
     print(f"persistent cache: {cache_dir or 'DISABLED (cpu backend?)'}")
 
-    cfg = dataclasses.replace(
-        PRESETS[args.model_preset], compute_dtype=args.compute_dtype
-    )
-    model = build_model(cfg)
     so3 = get_so3_tables()
     torus = get_torus_tables()
     rng = np.random.RandomState(0)
-    d0 = jax.tree.map(
-        jnp.asarray,
-        synthetic_complex(rng, n_lig=16, n_rec=64, n_bonds=4,
-                          lm_dim=cfg.lm_embedding_dim or 1280),
-    )
-    params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), d0, d0.lig_pos, jnp.asarray(0.5), so3, torus
-    )
+
+    if args.model_dir:
+        from diffdock_tpu.train.checkpoints import load_checkpoint
+
+        params, cfg, _ = load_checkpoint(args.model_dir, args.ckpt)
+        cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype)
+    else:
+        cfg = dataclasses.replace(
+            PRESETS[args.model_preset], compute_dtype=args.compute_dtype
+        )
+        model = build_model(cfg)
+        d0 = jax.tree.map(
+            jnp.asarray,
+            synthetic_complex(rng, n_lig=16, n_rec=64, n_bonds=4,
+                              lm_dim=cfg.lm_embedding_dim or 1280),
+        )
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), d0, d0.lig_pos, jnp.asarray(0.5),
+            so3, torus,
+        )
+
+    conf_cfg = conf_params = None
+    if args.confidence_model_dir:
+        from diffdock_tpu.train.checkpoints import load_checkpoint
+
+        conf_params, conf_cfg, _ = load_checkpoint(
+            args.confidence_model_dir, args.confidence_ckpt
+        )
+    elif args.confidence_preset:
+        conf_cfg = dataclasses.replace(
+            PRESETS[args.confidence_preset],
+            confidence_mode=True,
+            old_architecture=args.old_confidence_model,
+            compute_dtype=args.compute_dtype,
+        )
+        conf_model = build_model(conf_cfg)
+        c0 = jax.tree.map(
+            jnp.asarray,
+            synthetic_complex(rng, n_lig=16, n_rec=64, n_bonds=4,
+                              lm_dim=conf_cfg.lm_embedding_dim or 1280),
+        )
+        conf_params = jax.jit(conf_model.init)(
+            jax.random.PRNGKey(1), c0, c0.lig_pos, jnp.asarray(0.0),
+            so3, torus,
+        )
+    if conf_cfg is not None and conf_cfg.all_atoms:
+        raise SystemExit(
+            "prewarm supports CG confidence models only (an all-atom "
+            "confidence program additionally depends on the atom bucket)"
+        )
+
     pipeline = DockingPipeline(
         cfg, params,
         SamplerConfig(inference_steps=args.inference_steps,
                       actual_steps=args.actual_steps),
+        confidence_cfg=conf_cfg, confidence_params=conf_params,
         so3_tables=so3, torus_tables=torus,
     )
 
-    jobs = [] if args.no_cover_ladder else list(COVER_LADDER)
+    ladder = [] if args.no_cover_ladder else list(COVER_LADDER)
+    jobs = list(ladder)
     if args.samples_per_complex:
         jobs += [
             (nl, nr, nb, args.samples_per_complex)
-            for nl, nr, nb, _ in ([] if args.no_cover_ladder
-                                  else COVER_LADDER)
+            for nl, nr, nb, _ in ladder
         ]
     for spec in args.bucket:
         nl, nr, nb, poses = (int(x) for x in spec.split(","))
         jobs.append((nl, nr, nb, poses))
+    jobs = list(dict.fromkeys(jobs))  # dedupe identical (bucket, P) programs
 
     for nl, nr, nb, poses in jobs:
         data = synthetic_complex(

@@ -91,32 +91,37 @@ class AAComplexData(NamedTuple):
 
 
 def pad_aa_to(
-    data: AAComplexData, nl: int, nr: int, nb: int, na: int
+    data: AAComplexData, nl: int, nr: int, nb: int, na: int,
+    kb: int = 4, kr: int = 0, ka: Optional[int] = None,
+    ar: Optional[int] = None,
 ) -> AAComplexData:
-    def pad(a, rows, fill=0):
+    """Pad an AAComplexData to bucket sizes.
+
+    ``kb``/``kr`` normalize the base tree's data-dependent widths (see
+    :func:`pad_to`); ``ka`` normalizes the atom-kNN column count (tiny
+    structures get k = n-1 < atom_max_neighbors) and ``ar`` the
+    atoms-per-residue column count, so AA trees from different complexes
+    stack into one batch.
+    """
+
+    def pad(a, rows, fill=0, cols=None):
         a = np.asarray(a)
         width = [(0, rows - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        if cols is not None:
+            width[1] = (0, max(cols, a.shape[1]) - a.shape[1])
         return np.pad(a, width, constant_values=fill)
 
-    base = pad_to(data.base, nl, nr, nb)
-    cur_nr = np.asarray(data.res_atom_idx).shape[0]
-    res_atom_idx = np.pad(
-        np.asarray(data.res_atom_idx), [(0, nr - cur_nr), (0, 0)]
-    )
-    res_atom_mask = np.pad(
-        np.asarray(data.res_atom_mask), [(0, nr - cur_nr), (0, 0)],
-        constant_values=False,
-    )
+    base = pad_to(data.base, nl, nr, nb, kb=kb, kr=kr)
     return AAComplexData(
         base=base,
         atom_cat=pad(data.atom_cat, na),
         atom_mask=pad(data.atom_mask, na, False),
         atom_pos=pad(data.atom_pos, na),
-        atom_nbr=pad(data.atom_nbr, na),
-        atom_nbr_mask=pad(data.atom_nbr_mask, na, False),
+        atom_nbr=pad(data.atom_nbr, na, cols=ka),
+        atom_nbr_mask=pad(data.atom_nbr_mask, na, False, cols=ka),
         atom_res=pad(data.atom_res, na),
-        res_atom_idx=res_atom_idx,
-        res_atom_mask=res_atom_mask,
+        res_atom_idx=pad(data.res_atom_idx, nr, cols=ar),
+        res_atom_mask=pad(data.res_atom_mask, nr, False, cols=ar),
     )
 
 

@@ -354,6 +354,29 @@ class DockingPipeline:
         return data, aa_data
 
     # ------------------------------------------------------------------
+    def effective_pose_chunk(
+        self,
+        data: ComplexData,
+        num_poses: int,
+        batch_size: Optional[int] = None,
+    ) -> int:
+        """The poses-in-flight ``dock_complex`` will actually run for this
+        complex (mirrors its chunk resolution: cover-ladder P caps any
+        explicit batch_size). Lets retry logic halve from the real
+        in-flight count instead of ``num_poses``."""
+        data, _ = self._pre_crop_host(data, None)
+        ladder_poses = None
+        if self.bucket_ladder == "cover":
+            from diffdock_tpu.inference.ladder import cover_bucket
+
+            cov = cover_bucket(data.n_lig, data.n_rec, data.n_bonds)
+            if cov is not None:
+                ladder_poses = cov[3] * (self.mesh.size if self.mesh else 1)
+        chunk = batch_size
+        if ladder_poses is not None:
+            chunk = min(chunk, ladder_poses) if chunk else ladder_poses
+        return min(chunk, num_poses) if chunk else num_poses
+
     def dock_complex(
         self,
         data: ComplexData,
@@ -614,11 +637,21 @@ class DockingPipeline:
                 na = max(
                     max(_round_up(a.n_atoms, 256), 256) for _, a in members
                 )
+                # same width normalization for the AA trees (base kb/kr
+                # plus atom-kNN and atoms-per-residue column counts)
+                ka = max(
+                    np.asarray(a.atom_nbr).shape[1] for _, a in members
+                )
+                ar = max(
+                    np.asarray(a.res_atom_idx).shape[1] for _, a in members
+                )
                 padded_aa = jax.tree.map(
                     lambda *xs: jnp.stack(xs),
                     *[
                         jax.tree.map(
-                            jnp.asarray, pad_aa_to(a, nl, nr, nb, na)
+                            jnp.asarray,
+                            pad_aa_to(a, nl, nr, nb, na,
+                                      kb=kb, kr=kr, ka=ka, ar=ar),
                         )
                         for _, a in members
                     ],

@@ -129,15 +129,43 @@ def prepare_model_dir(
     """
     if not is_reference_format(model_dir):
         return model_dir
-    native = os.path.join(model_dir, NATIVE_SUBDIR)
+    # The conversion cache is keyed by (checkpoint file, importer flags):
+    # a different --ckpt (or architecture flag) converts into a different
+    # subdir, so a cached default conversion is never silently served for
+    # a non-default request.
+    import re
+
+    ckpt_name = ckpt or DEFAULT_CKPT
+    sub = NATIVE_SUBDIR
+    if ckpt_name != DEFAULT_CKPT:
+        stem = re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.splitext(ckpt_name)[0])
+        sub += f"_{stem}"
+    if confidence_mode:
+        sub += "_conf"
+    if old:
+        sub += "_old"
+    native = os.path.join(model_dir, sub)
     from diffdock_tpu.train.checkpoints import WEIGHTS_FILE
 
+    source = f"{ckpt_name} confidence={confidence_mode} old={old}\n"
+    source_file = os.path.join(native, "SOURCE")
     if os.path.exists(os.path.join(native, WEIGHTS_FILE)):
+        if not os.path.exists(source_file):  # legacy cache: tag it
+            with open(source_file, "w") as f:
+                f.write(source)
+        with open(source_file) as f:
+            recorded = f.read()
+        if recorded != source:
+            raise RuntimeError(
+                f"{native} was converted from a different source "
+                f"({recorded.strip()!r}); delete it to reconvert as "
+                f"{source.strip()!r}"
+            )
         return native
 
     from diffdock_tpu.cli.import_weights import main as import_main
 
-    torch_ckpt = os.path.join(model_dir, ckpt or DEFAULT_CKPT)
+    torch_ckpt = os.path.join(model_dir, ckpt_name)
     argv = ["--torch_checkpoint", torch_ckpt, "--out_dir", native]
     if confidence_mode:
         argv.append("--confidence_mode")
@@ -146,4 +174,6 @@ def prepare_model_dir(
     rc = import_main(argv)
     if rc != 0:
         raise RuntimeError(f"weight import failed for {torch_ckpt}")
+    with open(source_file, "w") as f:
+        f.write(source)
     return native

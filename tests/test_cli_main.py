@@ -35,3 +35,28 @@ def test_entry_point_matches_pyproject():
 
     m = importlib.import_module(mod)
     assert callable(getattr(m, fn))
+
+
+def test_prewarm_with_confidence_model():
+    """Prewarm includes the confidence apply in the warmed program
+    (--confidence_preset) and dedupes repeated (bucket, P) jobs — a
+    confidence-free prewarm would never match a confidence-ranked sweep's
+    HLO."""
+    import pytest
+
+    pytest.importorskip("jax")
+    from diffdock_tpu.cli import prewarm
+
+    rc = prewarm.main([
+        "--model_preset", "diffdock_s", "--no_cover_ladder",
+        "--bucket", "16,64,4,2", "--bucket", "16,64,4,2",
+        "--confidence_preset", "diffdock_s",
+        "--inference_steps", "2", "--actual_steps", "2",
+        "--compute_dtype", "float32",
+    ])
+    assert rc == 0
+
+
+test_prewarm_with_confidence_model = __import__("pytest").mark.slow(
+    test_prewarm_with_confidence_model
+)

@@ -151,12 +151,35 @@ def test_prepare_model_dir_converts_once(tmp_path, monkeypatch):
 
     monkeypatch.setattr(iw, "main", fake_import)
     out = prepare_model_dir(str(ref), confidence_mode=True, old=True)
-    assert out == native
+    # conversion subdirs are keyed by the importer flags...
+    assert out == native + "_conf_old"
     assert seen and "--confidence_mode" in seen[0] and "--old" in seen[0]
     assert seen[0][seen[0].index("--torch_checkpoint") + 1] == str(
         ref / DEFAULT_CKPT
     )
 
-    # cached: the second call returns the converted dir without importing
-    out2 = prepare_model_dir(str(ref))
-    assert out2 == native and len(seen) == 1
+    # cached: the same request returns the converted dir without importing
+    out2 = prepare_model_dir(str(ref), confidence_mode=True, old=True)
+    assert out2 == out and len(seen) == 1
+
+    # ...and by the checkpoint file: a different --ckpt converts anew into
+    # its own subdir instead of silently serving the cached default
+    (ref / "last_model.pt").write_bytes(b"torch2")
+    out3 = prepare_model_dir(str(ref), ckpt="last_model.pt")
+    assert out3 == native + "_last_model" and len(seen) == 2
+    assert seen[1][seen[1].index("--torch_checkpoint") + 1] == str(
+        ref / "last_model.pt"
+    )
+
+    # default request converts the default checkpoint into tpu_native/
+    out4 = prepare_model_dir(str(ref))
+    assert out4 == native and len(seen) == 3
+
+    # a cache whose recorded source mismatches the request is an error,
+    # not a silent wrong-weights load
+    with open(os.path.join(out4, "SOURCE"), "w") as f:
+        f.write("something_else.pt confidence=False old=False\n")
+    import pytest
+
+    with pytest.raises(RuntimeError, match="different source"):
+        prepare_model_dir(str(ref))
