@@ -2,19 +2,40 @@
 
 Default mode measures the production docking path (DockingPipeline, 20
 denoising steps, 40 poses per complex — the paper-eval recipe) over the
-cover-ladder buckets (`diffdock_tpu/inference/ladder.py`), then
-reports TWO numbers in ONE JSON line:
+cover-ladder buckets (`diffdock_tpu/inference/ladder.py`) and reports a
+**distribution-weighted poses/sec**: the throughput of running a
+realistic 150-complex PDBBind-like size mix (churn_sizes) through the
+cover ladder — every complex executes in the smallest measured bucket
+that fits it, 40 poses each, so this is the wall-clock of an actual
+executable plan, not an extrapolation. The reference measurement
+contract is per-complex run_times over the full test set
+(evaluate.py:579-591). ``best_bucket_poses_per_sec`` (the 32x320 bucket
+alone) is kept for round-1/2 continuity.
 
-- ``value``: **distribution-weighted poses/sec** — the throughput of
-  running a realistic 150-complex PDBBind-like size mix (churn_sizes)
-  through the cover ladder: every complex executes in the smallest
-  measured bucket that fits it, 40 poses each, so this is the wall-clock
-  of an actual executable plan, not an extrapolation. This is the honest
-  headline (VERDICT r2 ask #3); the reference measurement contract is
-  per-complex run_times over the full test set (evaluate.py:579-591).
-- ``best_bucket_poses_per_sec``: steady-state throughput of the smallest
-  bucket alone (32 lig / 320 res, 40 poses in flight) — the round-1/2
-  headline, kept for continuity.
+The artifact is designed to be un-failable under a driver timeout
+(VERDICT r3 ask #1):
+
+- buckets are measured in **descending churn-weight order** (their time
+  contribution to the weighted plan), so an early stop loses only the
+  low-weight tail;
+- after EVERY bucket, BENCH_DETAILS.json is rewritten and a provisional
+  headline JSON line is printed to stdout with ``"partial": true`` —
+  the weighted number uses measured buckets plus the cost-model fill
+  (`ladder.modeled_batch_seconds`) for the unmeasured tail. The final
+  line has ``"partial": false``;
+- a total wall-clock budget (``--budget``, default 1500 s, env
+  ``BENCH_BUDGET_S``) stops measuring before a driver ``timeout`` would
+  kill the process mid-bucket;
+- a per-bucket anomaly cap (VERDICT r3 weak #2: the 16x704 bucket ran
+  94x its cost model under the driver): if the first post-compile batch
+  exceeds ``--anomaly_factor`` x the modeled batch time, remaining reps
+  are skipped, the bucket is **quarantined**, and the weighted plan
+  re-routes its complexes to the next covering entry — exactly what the
+  production pipeline's runtime guard does (inference/pipeline.py).
+
+Persistent-cache hit/miss logging (VERDICT r3 ask #5): ``jax_log_compiles``
+and ``jax_explain_cache_misses`` are enabled, so stderr shows per program
+whether the executable came from the persistent cache or a fresh compile.
 
 Baseline: the reference (torch/PyG DiffDock-L) samples roughly 1.6
 poses/sec on an A100 at 40 poses x 20 steps (~25 s per 40-pose complex;
@@ -24,22 +45,18 @@ weighted number by that single A100 figure.
 
 Extra modes:
 
-  python bench.py --churn     bucket-churn accounting only (no chip time):
-                              distinct fine-ladder programs + padding for
-                              the 150-complex mix
+  python bench.py --churn     bucket-churn accounting only (no chip time)
   python bench.py --fine      additionally measure the round-2 fine
-                              buckets (64/1024 P=16, 96/2304 P=8) for
-                              PERF.md continuity
-
-All per-bucket rows go to stderr + BENCH_DETAILS.json. Compiles go
-through the persistent XLA cache (utils/compile_cache.py), so repeat runs
-— including the driver's — skip the multi-minute compile wall; run
-``diffdock-tpu prewarm`` ahead of a sweep to warm it explicitly.
+                              buckets (64/1024 P=16, 96/2304 P=8)
+  python bench.py --pocket    additionally measure the NR>1024 buckets
+                              with crop_beyond pocket compaction and
+                              report an alternate weighted headline
 """
 
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -48,9 +65,10 @@ import numpy as np
 A100_BASELINE_POSES_PER_SEC = 1.6
 POSES_PER_COMPLEX = 40  # paper-eval recipe
 STEPS = 20
+N_CHURN_COMPLEXES = 150
 
 
-def churn_sizes(n=150, seed=7):
+def churn_sizes(n=N_CHURN_COMPLEXES, seed=7):
     """A realistic PDBBind-test-like complex-size draw (ligand heavy atoms,
     receptor residues): ligands ~8-60 heavy atoms; receptor residues
     log-spread over ~100-3000 with the mass around 200-600 (the reference
@@ -96,6 +114,31 @@ POCKET_CROP_BEYOND = 20.0   # reference pocket-eval crop (utils/utils.py:388)
 POCKET_CAPACITY = 1024      # compaction capacity (PERF.md, 2.1x at 32x2304)
 
 
+def _enable_cache_logging():
+    """Per-program persistent-cache hit/miss evidence on stderr
+    (VERDICT r3 ask #5). Hits log at DEBUG ('Persistent compilation cache
+    hit for ...'), misses at WARNING with jax_explain_cache_misses; a
+    dedicated filtered handler passes ONLY those lines — NOT
+    jax_log_compiles, which dumps full argument-shape lists per compile
+    (megabytes of stderr and real host-CPU formatting load that pollutes
+    chip steady-state timings through the axon dispatch path)."""
+    import logging
+
+    import jax
+
+    try:
+        jax.config.update("jax_explain_cache_misses", True)
+    except Exception:  # pragma: no cover - older jax
+        pass
+    handler = logging.StreamHandler(sys.stderr)
+    handler.addFilter(
+        lambda r: "persistent compilation cache" in r.getMessage().lower()
+    )
+    logger = logging.getLogger("jax._src.compiler")
+    logger.setLevel(logging.DEBUG)
+    logger.addHandler(handler)
+
+
 def _make_pipeline(steps=STEPS, pocket=False):
     import jax
     import jax.numpy as jnp
@@ -135,11 +178,14 @@ def _make_pipeline(steps=STEPS, pocket=False):
     )
 
 
-def _bench_bucket(pipeline, nl, nr, nb, poses, n_rep=3):
+def _bench_bucket(pipeline, nl, nr, nb, poses, n_rep=2, anomaly_factor=None):
     """Compile + steady-state time for one (bucket, poses) program on the
-    production dock_complex path. Returns (poses_per_sec, s_per_batch,
-    compile_s)."""
+    production dock_complex path. Returns a dict with poses_per_sec,
+    steady s/batch, compile/load time, and whether the first post-compile
+    batch tripped the anomaly cap (in which case remaining reps were
+    skipped and the recorded steady time is that anomalous batch)."""
     from diffdock_tpu.data.complexes import bucket_sizes, synthetic_complex
+    from diffdock_tpu.inference.ladder import modeled_batch_seconds
 
     rng = np.random.RandomState(1)
     data = synthetic_complex(
@@ -151,11 +197,129 @@ def _bench_bucket(pipeline, nl, nr, nb, poses, n_rep=3):
     pipeline.dock_complex(data, num_poses=poses, seed=0)
     compile_time = time.time() - t0
 
-    t0 = time.time()
+    model_s = modeled_batch_seconds(nl, nr, poses)
+    reps, anomaly = [], False
     for i in range(n_rep):
+        t0 = time.time()
         pipeline.dock_complex(data, num_poses=poses, seed=i + 1)
-    dt = (time.time() - t0) / n_rep
-    return poses / dt, dt, compile_time
+        reps.append(time.time() - t0)
+        if (
+            i == 0
+            and anomaly_factor is not None
+            and reps[0] > anomaly_factor * model_s
+        ):
+            anomaly = True
+            break
+    dt = float(np.mean(reps))
+    return {
+        "poses_per_sec": poses / dt,
+        "steady_s_per_batch": dt,
+        "compile_s": compile_time,
+        "anomaly": anomaly,
+        "model_s_per_batch": model_s,
+    }
+
+
+def _weighted_plan(measured, quarantined):
+    """Wall-clock of the 150-complex x 40-pose plan through the cover
+    ladder with ``quarantined`` entries excluded (their complexes
+    re-route to the next covering entry, mirroring the pipeline's
+    runtime guard). Unmeasured buckets are cost-model-filled; returns
+    (total_s, poses, n_model_filled_complexes, mean_padding)."""
+    from diffdock_tpu.inference.ladder import (
+        cover_bucket,
+        modeled_batch_seconds,
+    )
+
+    total_time, total_poses, filled, pad_area = 0.0, 0, 0, []
+    for nl_c, nr_c in churn_sizes():
+        nb_c = max(1, nl_c // 4)
+        cov = cover_bucket(nl_c, nr_c, nb_c, exclude=quarantined)
+        assert cov is not None, f"complex ({nl_c},{nr_c}) exceeds ladder"
+        nl, nr, nb, poses = cov
+        batches = -(-POSES_PER_COMPLEX // poses)  # ceil
+        t = measured.get(cov)
+        if t is None:
+            t = modeled_batch_seconds(nl, nr, poses)
+            filled += 1
+        total_time += batches * t
+        total_poses += POSES_PER_COMPLEX
+        pad_area.append((nl * nr) / (nl_c * nr_c))
+    return total_time, total_poses, filled, float(np.mean(pad_area))
+
+
+def _churn_weight_order():
+    """Cover-ladder entries ordered by descending contribution to the
+    weighted plan (modeled), so a budget cutoff loses only the tail."""
+    from diffdock_tpu.inference.ladder import (
+        COVER_LADDER,
+        cover_bucket,
+        modeled_batch_seconds,
+    )
+
+    weight = {entry: 0.0 for entry in COVER_LADDER}
+    for nl_c, nr_c in churn_sizes():
+        cov = cover_bucket(nl_c, nr_c, max(1, nl_c // 4))
+        batches = -(-POSES_PER_COMPLEX // cov[3])
+        weight[cov] += batches * modeled_batch_seconds(cov[0], cov[1], cov[3])
+    return sorted(COVER_LADDER, key=lambda e: -weight[e]), weight
+
+
+def _emit_headline(details, measured, quarantined, partial, pocket_time=None):
+    """Recompute the weighted plan, update ``details``, and print a
+    headline JSON line to stdout (provisional while ``partial``)."""
+    total_time, total_poses, filled, mean_pad = _weighted_plan(
+        measured, quarantined
+    )
+    weighted = total_poses / total_time
+    details["weighted"] = {
+        "complexes": N_CHURN_COMPLEXES,
+        "poses_per_complex": POSES_PER_COMPLEX,
+        "total_time_s": round(total_time, 1),
+        "poses_per_sec": round(weighted, 3),
+        "measured_buckets": len(measured),
+        "model_filled_complexes": filled,
+        "quarantined": [list(e) for e in sorted(quarantined)],
+        "mean_cover_padding": round(mean_pad, 3),
+        "partial": partial,
+    }
+    line = {
+        "metric": "poses_per_sec_weighted",
+        "value": round(weighted, 3),
+        "unit": "poses/s",
+        "vs_baseline": round(weighted / A100_BASELINE_POSES_PER_SEC, 3),
+        "partial": partial,
+        "measured_buckets": len(measured),
+        "model_filled_complexes": filled,
+    }
+    if "cover_32x320" in details:
+        best = details["cover_32x320"]["poses_per_sec"]
+        line["best_bucket_poses_per_sec"] = best
+        line["best_bucket_vs_baseline"] = round(
+            best / A100_BASELINE_POSES_PER_SEC, 3
+        )
+    if quarantined:
+        line["quarantined_buckets"] = len(quarantined)
+    if pocket_time is not None:
+        w_pocket = total_poses / pocket_time
+        line["weighted_pocket_poses_per_sec"] = round(w_pocket, 3)
+    print(json.dumps(line), flush=True)
+    return weighted
+
+
+def _write_details(details):
+    # merge-preserve rows measured by other modes (--pocket / --fine /
+    # scripts/bench_train.py write into the same artifact)
+    try:
+        with open("BENCH_DETAILS.json") as f:
+            details = {**json.load(f), **details}
+    except (FileNotFoundError, ValueError):
+        pass
+    tmp = "BENCH_DETAILS.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(details, f, indent=2)
+    os.replace(tmp, "BENCH_DETAILS.json")
+    return details
 
 
 def main():
@@ -169,8 +333,16 @@ def main():
                          "reference's crop_beyond pocket compaction and "
                          "report an alternate weighted headline")
     ap.add_argument("--steps", type=int, default=STEPS)
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get("BENCH_BUDGET_S", 1500)),
+                    help="total wall-clock budget (s); buckets that would "
+                         "exceed it are cost-model-filled")
+    ap.add_argument("--anomaly_factor", type=float, default=5.0,
+                    help="quarantine a bucket whose first post-compile "
+                         "batch exceeds this multiple of its cost model")
     args = ap.parse_args()
+    t_start = time.time()
 
     # Enable the persistent cache BEFORE the first jit (model.init inside
     # _make_pipeline) so the init program is cached too, not just the dock
@@ -179,93 +351,105 @@ def main():
         from diffdock_tpu.utils.compile_cache import enable_persistent_cache
 
         enable_persistent_cache()
+        _enable_cache_logging()
 
     details = {"churn": run_churn()}
     if args.churn:
-        # accounting-only mode: refresh the churn dict without destroying
-        # previously measured per-bucket timings in BENCH_DETAILS.json
-        try:
-            with open("BENCH_DETAILS.json") as f:
-                details = {**json.load(f), **details}
-        except (FileNotFoundError, ValueError):
-            pass
-        with open("BENCH_DETAILS.json", "w") as f:
-            json.dump(details, f, indent=2)
+        details = _write_details(details)
         print(json.dumps(details["churn"]))
         return
 
-    from diffdock_tpu.inference.ladder import COVER_LADDER, cover_bucket
+    from diffdock_tpu.inference.ladder import modeled_batch_seconds
 
     pipeline = _make_pipeline(args.steps)
 
-    measured = {}
-    for nl, nr, nb, poses in COVER_LADDER:
-        pps, dt, compile_time = _bench_bucket(
-            pipeline, nl, nr, nb, poses, args.reps
+    order, weights = _churn_weight_order()
+    measured, quarantined, skipped_budget = {}, set(), []
+    # conservative compile-time estimate for the budget gate, updated from
+    # observed compiles; the first bucket is always measured (it also pays
+    # one-time backend/table setup)
+    est_compile = 120.0
+    for k, entry in enumerate(order):
+        nl, nr, nb, poses = entry
+        model_s = modeled_batch_seconds(nl, nr, poses)
+        est_bucket = est_compile + (args.reps + 1) * model_s
+        elapsed = time.time() - t_start
+        if k > 0 and elapsed + est_bucket > args.budget:
+            skipped_budget.append(entry)
+            continue
+        r = _bench_bucket(
+            pipeline, nl, nr, nb, poses,
+            n_rep=args.reps, anomaly_factor=args.anomaly_factor,
         )
-        measured[(nl, nr, nb, poses)] = dt
+        est_compile = max(est_compile, 1.2 * r["compile_s"])
+        tag = ""
+        if r["anomaly"]:
+            quarantined.add(entry)
+            tag = (f"  ** ANOMALY: {r['steady_s_per_batch'] / r['model_s_per_batch']:.0f}x "
+                   f"cost model -> quarantined **")
+        else:
+            measured[entry] = r["steady_s_per_batch"]
         print(
-            f"# cover bucket nl={nl} nr={nr} nb={nb} P={poses}: "
-            f"compile {compile_time:.1f}s, steady {dt:.2f}s/batch -> "
-            f"{pps:.2f} poses/s", file=sys.stderr,
+            f"# cover bucket nl={nl} nr={nr} nb={nb} P={poses} "
+            f"(weight {weights[entry]:.0f}s): compile {r['compile_s']:.1f}s, "
+            f"steady {r['steady_s_per_batch']:.2f}s/batch -> "
+            f"{r['poses_per_sec']:.2f} poses/s{tag}", file=sys.stderr,
         )
         details[f"cover_{nl}x{nr}"] = {
             "bucket": {"nl": nl, "nr": nr, "nb": nb},
             "poses_in_flight": poses,
             "steps": args.steps,
-            "compile_s": round(compile_time, 1),
-            "steady_s_per_batch": round(dt, 3),
-            "poses_per_sec": round(pps, 3),
+            "compile_s": round(r["compile_s"], 1),
+            "steady_s_per_batch": round(r["steady_s_per_batch"], 3),
+            "poses_per_sec": round(r["poses_per_sec"], 3),
+            "churn_weight_s": round(weights[entry], 1),
+            **({"anomaly": True} if r["anomaly"] else {}),
         }
+        last_bucket = k == len(order) - 1
+        _emit_headline(
+            details, measured, quarantined,
+            partial=not (last_bucket and not skipped_budget),
+        )
+        _write_details(details)
 
-    # ---- distribution-weighted throughput over the churn mix: each
-    # complex runs 40 poses in the smallest cover bucket that fits it
-    total_time, total_poses, pad_area = 0.0, 0, []
-    for nl_c, nr_c in churn_sizes():
-        nb_c = max(1, nl_c // 4)
-        cov = cover_bucket(nl_c, nr_c, nb_c)
-        assert cov is not None, f"complex ({nl_c},{nr_c}) exceeds ladder"
-        nl, nr, nb, poses = cov
-        batches = -(-POSES_PER_COMPLEX // poses)  # ceil
-        total_time += batches * measured[(nl, nr, nb, poses)]
-        total_poses += POSES_PER_COMPLEX
-        pad_area.append((nl * nr) / (nl_c * nr_c))
-    weighted = total_poses / total_time
-    details["weighted"] = {
-        "complexes": 150,
-        "poses_per_complex": POSES_PER_COMPLEX,
-        "total_time_s": round(total_time, 1),
-        "poses_per_sec": round(weighted, 3),
-        "cover_programs": len(COVER_LADDER),
-        "mean_cover_padding": round(float(np.mean(pad_area)), 3),
-    }
-    print(
-        f"# weighted: 150-complex mix x {POSES_PER_COMPLEX} poses = "
-        f"{total_poses} poses in {total_time:.0f}s -> {weighted:.2f} "
-        f"poses/s ({len(COVER_LADDER)} programs, "
-        f"x{np.mean(pad_area):.2f} mean padding)", file=sys.stderr,
-    )
+    if skipped_budget:
+        print(
+            f"# budget {args.budget:.0f}s: skipped "
+            f"{len(skipped_budget)} low-weight buckets "
+            f"(cost-model-filled): "
+            + ", ".join(f"{e[0]}x{e[1]}" for e in skipped_budget),
+            file=sys.stderr,
+        )
+        details["skipped_for_budget"] = [list(e) for e in skipped_budget]
 
+    pocket_time = None
     if args.pocket:
         # Alternate headline: big receptors (NR > POCKET_CAPACITY) run with
         # the reference's own crop_beyond approximation realized as in-jit
         # gather-compaction (PERF.md "Pocket compaction"). Same plan as the
         # default headline for every other bucket. Opt-in because
         # crop_beyond is not part of the reference default recipe.
+        from diffdock_tpu.inference.ladder import COVER_LADDER
+
         ppipe = _make_pipeline(args.steps, pocket=True)
         pocket_measured = dict(measured)
         for nl, nr, nb, poses in COVER_LADDER:
             if nr <= POCKET_CAPACITY:
                 continue
-            pps, dt, compile_time = _bench_bucket(
-                ppipe, nl, nr, nb, poses, args.reps
+            r = _bench_bucket(
+                ppipe, nl, nr, nb, poses,
+                n_rep=args.reps, anomaly_factor=args.anomaly_factor,
             )
-            pocket_measured[(nl, nr, nb, poses)] = dt
+            if not r["anomaly"]:
+                pocket_measured[(nl, nr, nb, poses)] = r[
+                    "steady_s_per_batch"
+                ]
             print(
                 f"# pocket bucket nl={nl} nr={nr} P={poses} "
                 f"(crop {POCKET_CROP_BEYOND}, cap {POCKET_CAPACITY}): "
-                f"compile {compile_time:.1f}s, steady {dt:.2f}s/batch -> "
-                f"{pps:.2f} poses/s", file=sys.stderr,
+                f"compile {r['compile_s']:.1f}s, steady "
+                f"{r['steady_s_per_batch']:.2f}s/batch -> "
+                f"{r['poses_per_sec']:.2f} poses/s", file=sys.stderr,
             )
             details[f"pocket_{nl}x{nr}"] = {
                 "bucket": {"nl": nl, "nr": nr, "nb": nb},
@@ -273,27 +457,27 @@ def main():
                 "steps": args.steps,
                 "crop_beyond": POCKET_CROP_BEYOND,
                 "pocket_capacity": POCKET_CAPACITY,
-                "compile_s": round(compile_time, 1),
-                "steady_s_per_batch": round(dt, 3),
-                "poses_per_sec": round(pps, 3),
+                "compile_s": round(r["compile_s"], 1),
+                "steady_s_per_batch": round(r["steady_s_per_batch"], 3),
+                "poses_per_sec": round(r["poses_per_sec"], 3),
+                **({"anomaly": True} if r["anomaly"] else {}),
             }
-        p_time = 0.0
-        for nl_c, nr_c in churn_sizes():
-            cov = cover_bucket(nl_c, nr_c, max(1, nl_c // 4))
-            batches = -(-POSES_PER_COMPLEX // cov[3])
-            p_time += batches * pocket_measured[tuple(cov)]
-        w_pocket = total_poses / p_time
+        pocket_time, total_poses, p_filled, _ = _weighted_plan(
+            pocket_measured, quarantined
+        )
+        w_pocket = total_poses / pocket_time
         details["weighted_pocket"] = {
-            "complexes": 150,
+            "complexes": N_CHURN_COMPLEXES,
             "poses_per_complex": POSES_PER_COMPLEX,
-            "total_time_s": round(p_time, 1),
+            "total_time_s": round(pocket_time, 1),
             "poses_per_sec": round(w_pocket, 3),
             "crop_beyond": POCKET_CROP_BEYOND,
             "pocket_capacity": POCKET_CAPACITY,
+            "model_filled_complexes": p_filled,
         }
         print(
             f"# weighted (pocket compaction on NR>{POCKET_CAPACITY}): "
-            f"{total_poses} poses in {p_time:.0f}s -> {w_pocket:.2f} "
+            f"{total_poses} poses in {pocket_time:.0f}s -> {w_pocket:.2f} "
             f"poses/s", file=sys.stderr,
         )
 
@@ -301,43 +485,26 @@ def main():
         for name, nl, nr, nb, poses in (
             ("medium_fine", 64, 1024, 16, 16), ("large_fine", 96, 2304, 32, 8)
         ):
-            pps, dt, compile_time = _bench_bucket(
-                pipeline, nl, nr, nb, poses, args.reps
+            r = _bench_bucket(pipeline, nl, nr, nb, poses, n_rep=args.reps)
+            print(
+                f"# {name} nl={nl} nr={nr} P={poses}: "
+                f"{r['poses_per_sec']:.2f} poses/s", file=sys.stderr,
             )
-            print(f"# {name} nl={nl} nr={nr} P={poses}: {pps:.2f} poses/s",
-                  file=sys.stderr)
             details[name] = {
                 "bucket": {"nl": nl, "nr": nr, "nb": nb},
                 "poses_in_flight": poses,
-                "compile_s": round(compile_time, 1),
-                "steady_s_per_batch": round(dt, 3),
-                "poses_per_sec": round(pps, 3),
+                "compile_s": round(r["compile_s"], 1),
+                "steady_s_per_batch": round(r["steady_s_per_batch"], 3),
+                "poses_per_sec": round(r["poses_per_sec"], 3),
             }
 
-    # merge-preserve rows measured by other modes (--pocket / --fine runs)
-    try:
-        with open("BENCH_DETAILS.json") as f:
-            details = {**json.load(f), **details}
-    except (FileNotFoundError, ValueError):
-        pass
-    with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(details, f, indent=2)
+    # final (authoritative) line: partial only if the budget cut the tail
+    _emit_headline(
+        details, measured, quarantined,
+        partial=bool(skipped_budget), pocket_time=pocket_time,
+    )
+    _write_details(details)
     print("# wrote BENCH_DETAILS.json", file=sys.stderr)
-
-    best = details["cover_32x320"]["poses_per_sec"]
-    line = {
-        "metric": "poses_per_sec_weighted",
-        "value": round(weighted, 3),
-        "unit": "poses/s",
-        "vs_baseline": round(weighted / A100_BASELINE_POSES_PER_SEC, 3),
-        "best_bucket_poses_per_sec": best,
-        "best_bucket_vs_baseline": round(
-            best / A100_BASELINE_POSES_PER_SEC, 3
-        ),
-    }
-    if args.pocket:
-        line["weighted_pocket_poses_per_sec"] = round(w_pocket, 3)
-    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -172,9 +172,13 @@ def dock_with_retry(pipeline, data, num_poses, seed, max_retries=3,
         except Exception as e:  # noqa: BLE001 — reference-style halving
             # halve from the poses-in-flight that actually ran (the cover
             # ladder caps batch_size at its entry's P, so halving from
-            # num_poses could retry the identical failing program)
+            # num_poses could retry the identical failing program); on a
+            # pose mesh the program can't shrink below one pose per
+            # device, so stop once the real in-flight count hits that
+            # floor instead of burning retries on the identical program
             ran = pipeline.effective_pose_chunk(data, num_poses, chunk)
-            if ran <= 1 or attempt == max_retries - 1:
+            floor = pipeline.mesh.size if pipeline.mesh is not None else 1
+            if ran <= floor or attempt == max_retries - 1:
                 raise
             chunk = max(1, ran // 2)
             print(f"  retry with pose chunks of {chunk}: "
@@ -369,7 +373,11 @@ def main(argv=None):
     failures = 0
     for name in eval_names:
         if pre_docked and name in data_cache:
-            data = data_cache[name]
+            # pop: holding every loaded complex (incl. 1280-dim per-residue
+            # LM embeddings) for the whole sweep costs gigabytes of host
+            # RAM on large evaluations; each entry is needed exactly once
+            # here (ADVICE r3)
+            data = data_cache.pop(name)
         else:
             data = get_data(name)
         if data is None:

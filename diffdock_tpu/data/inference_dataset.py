@@ -107,11 +107,39 @@ def fold_sequence(sequence: str, out_path: str, model=None) -> str:
                 "--protein_path with a PDB structure instead of a bare "
                 "sequence"
             ) from e
-    with torch.no_grad():
-        pdb_text = model.infer_pdbs([sequence])[0]
+    # OOM degradation mirroring the reference (utils/inference_utils.py:
+    # 87-115): on a memory error, halve the axial-attention chunk size
+    # (256 -> 128 -> ... -> 1) and retry, so long sequences that the
+    # reference folds after degrading still fold here (ADVICE r3).
+    chunk = None  # model default first (full attention)
+    while True:
+        try:
+            with torch.no_grad():
+                pdb_text = model.infer_pdbs([sequence])[0]
+            break
+        except (MemoryError, RuntimeError) as e:
+            if not _is_oom(e):
+                raise
+            chunk = 256 if chunk is None else chunk // 2
+            if chunk < 1:
+                raise RuntimeError(
+                    "ESMFold out of memory even at chunk_size=1; fold the "
+                    "sequence on a larger host or provide --protein_path"
+                ) from e
+            print(f"ESMFold OOM; retrying with chunk_size {chunk}")
+            model.trunk.set_chunk_size(chunk)
     with open(out_path, "w") as f:
         f.write(pdb_text)
     return out_path
+
+
+def _is_oom(e: BaseException) -> bool:
+    if isinstance(e, MemoryError):
+        return True
+    msg = str(e).lower()
+    return "out of memory" in msg or "can't allocate" in msg or (
+        "cannot allocate" in msg
+    )
 
 
 def make_esmfold_folder(model=None):

@@ -21,7 +21,7 @@ mini-batches through eager PyG).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Collection, Optional, Tuple
 
 # (n_lig, n_rec, n_bonds, poses_in_flight); poses_in_flight chosen so the
 # paper-recipe 40 poses/complex divide into whole batches and the largest
@@ -62,11 +62,38 @@ COVER_LADDER: Tuple[Tuple[int, int, int, int], ...] = (
 )
 
 
-def cover_bucket(n_lig: int, n_rec: int, n_bonds: int):
+# Measured steady-state cost model for the production dock program on one
+# v5e chip (round-3 BENCH_DETAILS fit, DiffDock-L config at bf16):
+# seconds per pose as a function of the NL x NR cross-block area. Used to
+# (a) order/validate the ladder (tests/test_ladder.py), (b) budget and
+# weight-order bench.py, and (c) detect pathological programs at runtime
+# (the 94x-slow 16x704 driver anomaly, VERDICT r3): a batch running many
+# times slower than this model is quarantined and its complexes re-routed
+# to the next covering entry.
+COST_PER_AREA_S = 3.42e-6
+COST_BASE_S = 0.0094
+
+
+def modeled_batch_seconds(nl: int, nr: int, poses: int) -> float:
+    """Modeled steady-state wall-clock of one (bucket, poses) batch."""
+    return poses * (COST_PER_AREA_S * nl * nr + COST_BASE_S)
+
+
+def cover_bucket(
+    n_lig: int,
+    n_rec: int,
+    n_bonds: int,
+    exclude: Optional[Collection[Tuple[int, int, int, int]]] = None,
+):
     """First (= fastest, by construction of the ordering) cover-ladder
     entry that fits the complex; None if the complex exceeds the ladder
-    (caller falls back to the fine ladder)."""
-    for nl, nr, nb, poses in COVER_LADDER:
+    (caller falls back to the fine ladder). ``exclude``: quarantined
+    entries to skip (runtime anomaly guard) — the next covering entry is
+    returned instead."""
+    for entry in COVER_LADDER:
+        if exclude and entry in exclude:
+            continue
+        nl, nr, nb, poses = entry
         if n_lig <= nl and n_rec <= nr and n_bonds <= nb:
-            return nl, nr, nb, poses
+            return entry
     return None

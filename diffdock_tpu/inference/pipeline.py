@@ -12,7 +12,9 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Dict, Optional, Tuple
+import time
+import warnings
+from typing import Dict, Optional, Set, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -73,6 +75,7 @@ class DockingPipeline:
         pocket_capacity: Optional[int] = None,
         bucket_ladder: str = "fine",
         mesh: Optional["jax.sharding.Mesh"] = None,
+        anomaly_guard: Optional[float] = None,
     ):
         """``pre_crop_radius``: host-side receptor shrink before padding —
         drops residues farther than this from any input-ligand atom so large
@@ -97,7 +100,19 @@ class DockingPipeline:
         independently folded RNG, and only the scalar affinity needs a
         collective (``pmean`` over ICI). None (default) runs single-
         device. In cover-ladder mode the per-program pose budget scales
-        by the mesh size (the ladder's P is a per-chip HBM bound)."""
+        by the mesh size (the ladder's P is a per-chip HBM bound).
+
+        ``anomaly_guard``: runtime guard against pathological compiled
+        programs (a cover bucket once ran 94x its cost model under an
+        otherwise healthy sweep — VERDICT r3). In cover-ladder mode each
+        executed batch is timed (compile is split off via AOT lowering so
+        the first batch is judged too); a batch slower than
+        ``anomaly_guard`` x ``ladder.modeled_batch_seconds`` quarantines
+        its cover entry — later complexes re-route to the next covering
+        entry with a warning (the already-computed batch is kept: slow,
+        not wrong). None = auto: 5.0 on a TPU backend with the cover
+        ladder, else disabled (the cost model is chip-specific). 0
+        disables. Env override: ``DIFFDOCK_TPU_ANOMALY_FACTOR``."""
         assert not score_cfg.all_atoms, "score model is coarse-grained"
         from diffdock_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -132,7 +147,20 @@ class DockingPipeline:
         if mesh is not None:
             assert len(mesh.axis_names) == 1, "pose sharding uses a 1-axis mesh"
         self.mesh = mesh
+        env_guard = os.environ.get("DIFFDOCK_TPU_ANOMALY_FACTOR")
+        if env_guard is not None:
+            anomaly_guard = float(env_guard)
+        elif anomaly_guard is None:
+            anomaly_guard = (
+                5.0
+                if bucket_ladder == "cover"
+                and jax.default_backend() == "tpu"
+                else 0.0
+            )
+        self.anomaly_guard = float(anomaly_guard)
+        self._quarantined: Set[Tuple[int, int, int, int]] = set()
         self._compiled: Dict[Tuple, callable] = {}
+        self._executables: Dict[Tuple, callable] = {}
 
     @property
     def _confidence_all_atoms(self) -> bool:
@@ -332,6 +360,39 @@ class DockingPipeline:
                 )
         return self._compiled[key]
 
+    def _execute(self, key, fn, args, guard_entry, poses_per_device):
+        """Run one compiled docking program; when ``guard_entry`` names the
+        cover-ladder entry this program serves and the guard is active,
+        split compilation off (AOT) so every executed batch — including
+        the first — is timed against the cost model, and quarantine the
+        entry on a pathological batch (see ``anomaly_guard``)."""
+        guard = self.anomaly_guard if guard_entry is not None else 0.0
+        if not guard:
+            return fn(*args)
+        exe = self._executables.get(key)
+        if exe is None:
+            exe = fn.lower(*args).compile()
+            self._executables[key] = exe
+        t0 = time.monotonic()
+        out = jax.block_until_ready(exe(*args))
+        dt = time.monotonic() - t0
+        from diffdock_tpu.inference.ladder import modeled_batch_seconds
+
+        model_s = modeled_batch_seconds(
+            guard_entry[0], guard_entry[1], poses_per_device
+        )
+        if dt > guard * model_s:
+            self._quarantined.add(guard_entry)
+            warnings.warn(
+                f"cover bucket {guard_entry[:3]} ran {dt:.1f}s/batch, "
+                f"{dt / model_s:.0f}x its cost model ({model_s:.2f}s) — "
+                f"quarantined; subsequent complexes re-route to the next "
+                f"covering entry (results of this batch are kept: slow, "
+                f"not wrong)",
+                RuntimeWarning,
+            )
+        return out
+
     # ------------------------------------------------------------------
     def _pre_crop_host(self, data, aa_data):
         """Host-side receptor shrink before padding (see ``__init__``)."""
@@ -362,20 +423,31 @@ class DockingPipeline:
     ) -> int:
         """The poses-in-flight ``dock_complex`` will actually run for this
         complex (mirrors its chunk resolution: cover-ladder P caps any
-        explicit batch_size). Lets retry logic halve from the real
-        in-flight count instead of ``num_poses``."""
+        explicit batch_size, and on a pose mesh the program rounds its
+        pose count up to a multiple of the mesh size). Lets retry logic
+        halve from the real in-flight count instead of ``num_poses`` —
+        and detect when halving can no longer shrink the program."""
         data, _ = self._pre_crop_host(data, None)
         ladder_poses = None
         if self.bucket_ladder == "cover":
             from diffdock_tpu.inference.ladder import cover_bucket
 
-            cov = cover_bucket(data.n_lig, data.n_rec, data.n_bonds)
+            cov = cover_bucket(data.n_lig, data.n_rec, data.n_bonds,
+                               exclude=self._quarantined)
             if cov is not None:
                 ladder_poses = cov[3] * (self.mesh.size if self.mesh else 1)
         chunk = batch_size
         if ladder_poses is not None:
             chunk = min(chunk, ladder_poses) if chunk else ladder_poses
-        return min(chunk, num_poses) if chunk else num_poses
+        chunk = min(chunk, num_poses) if chunk else num_poses
+        if self.mesh is not None and self.mesh.size > 1:
+            # dock_complex rounds the program's pose count up to a
+            # multiple of the mesh size (surplus poses are dropped), so
+            # the true in-flight count is the rounded value — a nominal
+            # chunk below mesh.size would re-run the identical program
+            nd = self.mesh.size
+            chunk = -(-chunk // nd) * nd
+        return chunk
 
     def dock_complex(
         self,
@@ -400,11 +472,12 @@ class DockingPipeline:
         explicit batch_size is capped there, the HBM-safety bound)."""
         data, aa_data = self._pre_crop_host(data, aa_data)
         nl, nr, nb = bucket_sizes(data.n_lig, data.n_rec, data.n_bonds)
-        ladder_poses = None
+        ladder_poses, cov = None, None
         if self.bucket_ladder == "cover":
             from diffdock_tpu.inference.ladder import cover_bucket
 
-            cov = cover_bucket(data.n_lig, data.n_rec, data.n_bonds)
+            cov = cover_bucket(data.n_lig, data.n_rec, data.n_bonds,
+                               exclude=self._quarantined)
             if cov is not None:
                 nl, nr, nb = cov[:3]
                 ladder_poses = cov[3]
@@ -476,6 +549,7 @@ class DockingPipeline:
         else:
             padded_aa, bucket = None, (nl, nr, nb, 0)
 
+        key = bucket + (n_run, with_aa, return_trajectory)
         fn = self._get_compiled(bucket, n_run, with_aa, return_trajectory)
         pocket = (
             jnp.zeros((4,), jnp.float32)
@@ -485,9 +559,14 @@ class DockingPipeline:
                  jnp.ones((1,), jnp.float32)]
             )
         )
-        poses, conf, affinity, traj = fn(
-            (self.score_params, self.confidence_params),
-            jax.random.PRNGKey(seed), padded, padded_aa, pocket,
+        poses, conf, affinity, traj = self._execute(
+            key, fn,
+            (
+                (self.score_params, self.confidence_params),
+                jax.random.PRNGKey(seed), padded, padded_aa, pocket,
+            ),
+            guard_entry=cov,
+            poses_per_device=n_run // (self.mesh.size if self.mesh else 1),
         )
         center = np.asarray(data.original_center)
         poses = np.asarray(poses)[:num_poses, :n_real]
@@ -613,7 +692,7 @@ class DockingPipeline:
             if self.bucket_ladder == "cover":
                 from diffdock_tpu.inference.ladder import cover_bucket
 
-                cov = cover_bucket(nl, nr, nb)
+                cov = cover_bucket(nl, nr, nb, exclude=self._quarantined)
                 if cov is not None:
                     nl, nr, nb = cov[:3]
                     # the ladder's P is a per-chip bound; each device holds

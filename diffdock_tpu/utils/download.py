@@ -150,18 +150,33 @@ def prepare_model_dir(
     source = f"{ckpt_name} confidence={confidence_mode} old={old}\n"
     source_file = os.path.join(native, "SOURCE")
     if os.path.exists(os.path.join(native, WEIGHTS_FILE)):
-        if not os.path.exists(source_file):  # legacy cache: tag it
-            with open(source_file, "w") as f:
-                f.write(source)
-        with open(source_file) as f:
-            recorded = f.read()
-        if recorded != source:
-            raise RuntimeError(
-                f"{native} was converted from a different source "
-                f"({recorded.strip()!r}); delete it to reconvert as "
-                f"{source.strip()!r}"
+        if not os.path.exists(source_file):
+            # A legacy (pre-keying) cache carries no provenance: stamping
+            # it with the CURRENT request's flags could mislabel a cache
+            # originally converted with different flags and silently
+            # serve the wrong weights later. Treat it as unverifiable:
+            # warn and reconvert from the checkpoint (ADVICE r3).
+            import warnings
+
+            warnings.warn(
+                f"{native} has no SOURCE provenance record (created by an "
+                f"older version); reconverting from {ckpt_name} to "
+                f"guarantee the cached weights match this request",
+                RuntimeWarning,
             )
-        return native
+            import shutil
+
+            shutil.rmtree(native)
+        else:
+            with open(source_file) as f:
+                recorded = f.read()
+            if recorded != source:
+                raise RuntimeError(
+                    f"{native} was converted from a different source "
+                    f"({recorded.strip()!r}); delete it to reconvert as "
+                    f"{source.strip()!r}"
+                )
+            return native
 
     from diffdock_tpu.cli.import_weights import main as import_main
 

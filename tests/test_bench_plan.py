@@ -1,0 +1,73 @@
+"""Host-side logic of bench.py's un-failable artifact flow (VERDICT r3
+ask #1): weight ordering, cost-model fill, quarantine re-routing, and
+incremental headline emission — all testable without a chip."""
+
+import json
+
+import bench
+from diffdock_tpu.inference.ladder import (
+    COVER_LADDER,
+    modeled_batch_seconds,
+)
+
+
+def test_weight_order_covers_ladder_and_descends():
+    order, weights = bench._churn_weight_order()
+    assert sorted(order) == sorted(COVER_LADDER)
+    w = [weights[e] for e in order]
+    assert w == sorted(w, reverse=True)
+    # the head of the order carries most of the plan: measuring the top
+    # half under a budget cut must cover >=70% of the modeled plan time
+    # (the churn mix spreads over many mid-size buckets, so the curve is
+    # flatter than a pure power law — 76% at half with ladder v2)
+    assert sum(w[: len(w) // 2]) >= 0.7 * sum(w)
+
+
+def test_weighted_plan_model_fill_and_measured_agree():
+    # with NO measurements the plan is fully model-filled ...
+    t_model, poses, filled, pad = bench._weighted_plan({}, set())
+    assert poses == 150 * 40
+    assert filled == 150
+    assert pad > 1.0
+    # ... and equals the plan where every bucket is "measured" at exactly
+    # its model value
+    measured = {
+        e: modeled_batch_seconds(e[0], e[1], e[3]) for e in COVER_LADDER
+    }
+    t_meas, _, filled2, _ = bench._weighted_plan(measured, set())
+    assert filled2 == 0
+    assert abs(t_meas - t_model) < 1e-9
+
+
+def test_weighted_plan_quarantine_reroutes_and_costs_more():
+    measured = {
+        e: modeled_batch_seconds(e[0], e[1], e[3]) for e in COVER_LADDER
+    }
+    t0, _, _, _ = bench._weighted_plan(measured, set())
+    bad = (16, 704, 16, 40)  # the round-3 driver anomaly bucket
+    t1, _, _, _ = bench._weighted_plan(measured, {bad})
+    # re-routing to the next covering entry is slower but bounded
+    assert t0 < t1 < 1.25 * t0
+
+
+def test_emit_headline_partial_line(capsys):
+    details = {}
+    measured = {COVER_LADDER[0]: 1.0}
+    bench._emit_headline(details, measured, set(), partial=True)
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["metric"] == "poses_per_sec_weighted"
+    assert line["partial"] is True
+    assert line["value"] > 0
+    assert line["measured_buckets"] == 1
+    assert details["weighted"]["partial"] is True
+    # once 32x320 is in details the continuity field appears, and a full
+    # measurement set emits partial=false
+    details["cover_32x320"] = {"poses_per_sec": 20.0}
+    measured = {
+        e: modeled_batch_seconds(e[0], e[1], e[3]) for e in COVER_LADDER
+    }
+    bench._emit_headline(details, measured, set(), partial=False)
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["partial"] is False
+    assert line["best_bucket_poses_per_sec"] == 20.0
+    assert line["model_filled_complexes"] == 0

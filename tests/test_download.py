@@ -183,3 +183,16 @@ def test_prepare_model_dir_converts_once(tmp_path, monkeypatch):
 
     with pytest.raises(RuntimeError, match="different source"):
         prepare_model_dir(str(ref))
+
+    # a legacy (pre-keying) cache with no SOURCE record is unverifiable:
+    # it must be reconverted with a warning, NOT stamped with the current
+    # request's flags (which could mislabel a conversion made with
+    # different flags — ADVICE r3)
+    os.remove(os.path.join(out4, "SOURCE"))
+    with pytest.warns(RuntimeWarning, match="no SOURCE provenance"):
+        out5 = prepare_model_dir(str(ref))
+    assert out5 == native and len(seen) == 4  # reconverted
+    with open(os.path.join(out5, "SOURCE")) as f:
+        assert f.read().startswith(DEFAULT_CKPT)
+    # and the freshly stamped cache is served without reconverting
+    assert prepare_model_dir(str(ref)) == native and len(seen) == 4

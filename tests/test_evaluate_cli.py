@@ -138,6 +138,10 @@ def test_dock_with_retry_halves_pose_chunks():
 
     class FakePipeline:
         calls = []
+        mesh = None
+
+        def effective_pose_chunk(self, data, num_poses, batch_size=None):
+            return min(num_poses, batch_size or num_poses)
 
         def dock_complex(self, data, num_poses, seed, batch_size=None,
                          **kw):
@@ -160,11 +164,45 @@ def test_dock_with_retry_exhausted_raises():
     from diffdock_tpu.cli.evaluate import dock_with_retry
 
     class AlwaysFails:
+        mesh = None
+
+        def effective_pose_chunk(self, data, num_poses, batch_size=None):
+            return min(num_poses, batch_size or num_poses)
+
         def dock_complex(self, data, num_poses, seed, **kw):
             raise RuntimeError("boom")
 
-    with pytest.raises(RuntimeError):
+    with pytest.raises(RuntimeError, match="boom"):
         dock_with_retry(AlwaysFails(), None, 4, seed=0, max_retries=3)
+
+
+def test_dock_with_retry_stops_at_mesh_floor():
+    """On a pose mesh the program can't shrink below one pose per device:
+    once the real in-flight count hits mesh.size, retrying is pointless —
+    raise instead of re-running the identical program (ADVICE r3)."""
+    from diffdock_tpu.cli.evaluate import dock_with_retry
+
+    class Mesh:
+        size = 8
+
+    calls = []
+
+    class MeshedFails:
+        mesh = Mesh()
+
+        def effective_pose_chunk(self, data, num_poses, batch_size=None):
+            chunk = min(num_poses, batch_size or num_poses)
+            return -(-chunk // 8) * 8  # dock_complex's mesh round-up
+
+        def dock_complex(self, data, num_poses, seed, batch_size=None,
+                         **kw):
+            calls.append(batch_size)
+            raise RuntimeError("RESOURCE_EXHAUSTED")
+
+    with pytest.raises(RuntimeError):
+        dock_with_retry(MeshedFails(), None, 16, seed=0, max_retries=10)
+    # 16 -> 8 (= mesh floor) -> stop; never 4/2/1 identical re-runs
+    assert calls == [None, 8]
 
 
 def test_evaluate_moad_mode(tmp_path):

@@ -149,6 +149,58 @@ def _tiny_esmfold():
     return EsmForProteinFolding(cfg).eval()
 
 
+def test_fold_sequence_oom_halves_chunk_size(tmp_path):
+    """On OOM, fold_sequence degrades the axial-attention chunk size
+    (256 -> 128 -> ...) and retries, mirroring the reference
+    generate_ESM_structure (utils/inference_utils.py:87-115, ADVICE r3)."""
+    from diffdock_tpu.data.inference_dataset import fold_sequence
+
+    class Trunk:
+        def __init__(self):
+            self.chunks = []
+
+        def set_chunk_size(self, c):
+            self.chunks.append(c)
+
+    class FakeModel:
+        def __init__(self):
+            self.trunk = Trunk()
+
+        def infer_pdbs(self, seqs):
+            # OOM until the chunk size is degraded twice
+            if len(self.trunk.chunks) < 2:
+                raise RuntimeError("CUDA out of memory. Tried to allocate")
+            return ["ATOM      1  CA  ALA A   1       0.000   0.000   "
+                    "0.000  1.00  0.00           C\n"]
+
+    out = str(tmp_path / "seq.pdb")
+    assert fold_sequence("MKV", out, model=FakeModel()) == out
+    with open(out) as f:
+        assert " CA " in f.read()
+    # degradation sequence matches the reference's halving ladder
+    assert FakeModel().trunk.chunks == []
+
+    m = FakeModel()
+    fold_sequence("MKV", str(tmp_path / "seq2.pdb"), model=m)
+    assert m.trunk.chunks == [256, 128]
+
+    class AlwaysOOM(FakeModel):
+        def infer_pdbs(self, seqs):
+            raise MemoryError()
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="chunk_size=1"):
+        fold_sequence("MKV", str(tmp_path / "seq3.pdb"), model=AlwaysOOM())
+
+    class RealError(FakeModel):
+        def infer_pdbs(self, seqs):
+            raise RuntimeError("shape mismatch")
+
+    with pytest.raises(RuntimeError, match="shape mismatch"):
+        fold_sequence("MKV", str(tmp_path / "seq4.pdb"), model=RealError())
+
+
 def test_sequence_input_with_real_esmfold_code(tmp_path):
     """The REAL ESMFold code path (not the mock): tiny random-config
     EsmForProteinFolding -> make_esmfold_folder -> fold -> PDB parse ->

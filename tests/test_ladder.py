@@ -7,11 +7,17 @@ bucket's pose batch fits HBM. These tests pin those properties so ladder
 edits can't silently break the bench or the prewarm set.
 """
 
-from diffdock_tpu.inference.ladder import COVER_LADDER, cover_bucket
+from diffdock_tpu.inference.ladder import (
+    COST_BASE_S,
+    COST_PER_AREA_S,
+    COVER_LADDER,
+    cover_bucket,
+    modeled_batch_seconds,
+)
 
 # round-3 measured cost model (BENCH_DETAILS fit, see ladder.py comment):
 # steady-state seconds per pose as a function of cross-block area
-_A, _B = 3.42e-6, 0.0094
+_A, _B = COST_PER_AREA_S, COST_BASE_S
 POSES_PER_COMPLEX = 40
 # known-good HBM footprint: 8 poses x 96 lig x 2304 res (bench-proven)
 _HBM_AREA_BOUND = 8 * 96 * 2304
@@ -75,3 +81,33 @@ def test_first_fit_is_min_time_fit():
 def test_oversize_returns_none():
     assert cover_bucket(200, 500, 1) is None
     assert cover_bucket(30, 5000, 1) is None
+
+
+def test_modeled_batch_seconds_matches_cost_model():
+    assert modeled_batch_seconds(32, 320, 40) == 40 * (
+        _A * 32 * 320 + _B
+    )
+
+
+def test_exclude_reroutes_to_next_covering_entry():
+    # quarantining the entry a complex would route to re-routes it to the
+    # next (slower but healthy) covering entry — the anomaly-guard path
+    entry = cover_bucket(14, 600, 3)
+    assert entry == (16, 704, 16, 40)
+    rerouted = cover_bucket(14, 600, 3, exclude={entry})
+    assert rerouted is not None and rerouted != entry
+    nl, nr, nb, _ = rerouted
+    assert 14 <= nl and 600 <= nr and 3 <= nb
+    # the re-route is the fastest remaining fit
+    fits = [
+        e for e in COVER_LADDER
+        if e != entry and 14 <= e[0] and 600 <= e[1] and 3 <= e[2]
+    ]
+    best = min(fits, key=lambda e: _complex_time(e[0], e[1], e[3]))
+    assert _complex_time(rerouted[0], rerouted[1], rerouted[3]) == (
+        _complex_time(best[0], best[1], best[3])
+    )
+
+
+def test_exclude_all_returns_none():
+    assert cover_bucket(14, 600, 3, exclude=set(COVER_LADDER)) is None
