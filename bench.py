@@ -137,6 +137,9 @@ def _enable_cache_logging():
     logger = logging.getLogger("jax._src.compiler")
     logger.setLevel(logging.DEBUG)
     logger.addHandler(handler)
+    # don't also flow DEBUG records (get_compile_options noise, duplicate
+    # hit lines) to any root handler the environment may have configured
+    logger.propagate = False
 
 
 def _make_pipeline(steps=STEPS, pocket=False):
