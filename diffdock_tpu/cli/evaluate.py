@@ -136,7 +136,35 @@ def get_parser():
                         "additionally reported restricted to those with a "
                         "no_overlap_ prefix (reference evaluate.py:555-640, "
                         "data/splits/timesplit_test_no_rec_overlap)")
+    p.add_argument("--restrict_cpu", action="store_true", default=False,
+                   help="cap host BLAS/OMP pools at --num_cpu threads "
+                        "(reference evaluate.py:186-196); useful when "
+                        "sharing the host, at the cost of slower "
+                        "preprocessing and dispatch")
+    p.add_argument("--num_cpu", type=int, default=16,
+                   help="thread cap applied by --restrict_cpu")
+    p.add_argument("--dataset_statistics",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="print dataset geometry statistics after loading "
+                        "(reference datasets/pdbbind.py:421-452)")
     return p
+
+
+def restrict_cpu_threads(threads: int) -> None:
+    """Cap host thread pools (reference ``evaluate.py:186-196``). The env
+    vars only affect libraries initialized afterwards; torch (if present)
+    is capped directly, and XLA host threads via --xla_cpu flags are left
+    alone (the TPU path doesn't use them)."""
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "VECLIB_MAXIMUM_THREADS",
+                "NUMEXPR_NUM_THREADS"):
+        os.environ[var] = str(threads)
+    try:
+        import torch
+
+        torch.set_num_threads(threads)
+    except Exception:  # noqa: BLE001 — torch optional here
+        pass
 
 
 def true_pocket_center(data, pocket_cutoff: float):
@@ -188,6 +216,8 @@ def dock_with_retry(pipeline, data, num_poses, seed, max_retries=3,
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    if args.restrict_cpu:
+        restrict_cpu_threads(args.num_cpu)
     if args.complex_devices != 1 and args.pose_devices != 1:
         raise SystemExit(
             "--complex_devices and --pose_devices are mutually exclusive "
@@ -302,6 +332,8 @@ def main(argv=None):
             specs = specs[: args.limit_complexes]
         ds = ComplexDataset(specs, DatasetConfig(cache_dir=args.cache_path))
         ds.preprocess()
+        if args.dataset_statistics:
+            ds.print_statistics()
         spec_by_name = {s.name: s for s in specs}
         eval_names = ds.names
         get_data = ds.get

@@ -182,6 +182,42 @@ class ComplexDataset:
     def get(self, name: str) -> ComplexData:
         return load_complex_npz(str(self._path(name)))
 
+    def print_statistics(self) -> dict:
+        """Dataset geometry statistics at load time (reference
+        ``datasets/pdbbind.py:421-452``): receptor radius, molecule
+        radius, ligand-center distance from the receptor frame origin,
+        plus size distributions. Returns the stats dict (also printed)."""
+        rad_p, rad_m, dist_c, n_lig, n_rec = [], [], [], [], []
+        for name in self.names:
+            d = self.get(name)
+            rec = np.asarray(d.rec_pos)[np.asarray(d.rec_mask, bool)]
+            lig = np.asarray(d.lig_pos)[np.asarray(d.lig_mask, bool)]
+            rad_p.append(float(np.linalg.norm(rec, axis=1).max()))
+            center = lig.mean(axis=0)
+            rad_m.append(float(np.linalg.norm(lig - center, axis=1).max()))
+            dist_c.append(float(np.linalg.norm(center)))
+            n_lig.append(d.n_lig)
+            n_rec.append(d.n_rec)
+        stats = {}
+        print(f"Number of complexes: {len(self)}")
+        for label, arr in (
+            ("radius protein", rad_p),
+            ("radius molecule", rad_m),
+            ("distance protein-mol", dist_c),
+            ("ligand atoms", n_lig),
+            ("receptor residues", n_rec),
+        ):
+            a = np.asarray(arr, np.float64)
+            stats[label] = {
+                "mean": float(a.mean()) if a.size else 0.0,
+                "std": float(a.std()) if a.size else 0.0,
+                "max": float(a.max()) if a.size else 0.0,
+            }
+            s = stats[label]
+            print(f"{label}: mean {s['mean']:.3f}, std {s['std']:.3f}, "
+                  f"max {s['max']:.3f}")
+        return stats
+
     def bucketed_batches(
         self,
         batch_size: int,

@@ -1,0 +1,49 @@
+"""Dataset statistics printing + CPU thread caps — the two reference
+conveniences VERDICT r3 noted as absent (datasets/pdbbind.py:421-452,
+evaluate.py:186-196)."""
+
+import os
+
+import numpy as np
+
+from diffdock_tpu.data.datasets import (
+    ComplexDataset,
+    ComplexSpec,
+    DatasetConfig,
+)
+
+EXAMPLE_PDB = "/root/reference/examples/6w70.pdb"
+EXAMPLE_SDF = "/root/reference/examples/6w70_ligand.sdf"
+
+
+def test_print_statistics(tmp_path, capsys):
+    ds = ComplexDataset(
+        [ComplexSpec("6w70", EXAMPLE_PDB, EXAMPLE_SDF)],
+        DatasetConfig(cache_dir=str(tmp_path)),
+    )
+    ds.preprocess()
+    assert ds.names == ["6w70"]
+    stats = ds.print_statistics()
+    out = capsys.readouterr().out
+    assert "Number of complexes: 1" in out
+    for label in ("radius protein", "radius molecule",
+                  "distance protein-mol", "ligand atoms",
+                  "receptor residues"):
+        assert label in out
+        assert stats[label]["max"] >= stats[label]["mean"] >= 0
+    # 6w70 sanity: receptor bigger than ligand, ligand near the pocket
+    assert stats["radius protein"]["mean"] > stats["radius molecule"]["mean"]
+    assert np.isfinite(stats["distance protein-mol"]["mean"])
+
+
+def test_restrict_cpu_threads(monkeypatch):
+    from diffdock_tpu.cli.evaluate import restrict_cpu_threads
+
+    for var in ("OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        monkeypatch.delenv(var, raising=False)
+    restrict_cpu_threads(4)
+    assert os.environ["OMP_NUM_THREADS"] == "4"
+    assert os.environ["OPENBLAS_NUM_THREADS"] == "4"
+    import torch
+
+    assert torch.get_num_threads() == 4
