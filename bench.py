@@ -368,13 +368,16 @@ def main():
 
     order, weights = _churn_weight_order()
     measured, quarantined, skipped_budget = {}, set(), []
-    # conservative compile-time estimate for the budget gate, updated from
-    # observed compiles; the first bucket is always measured (it also pays
-    # one-time backend/table setup)
-    est_compile = 120.0
+    # compile-time estimate for the budget gate: median of recent observed
+    # compiles (adaptive — the first program of a fresh process pays
+    # one-time backend/table setup that later programs don't, so a
+    # max-ever estimate would starve the gate after one big cold compile).
+    # The first bucket is always measured.
+    compile_hist = [120.0]
     for k, entry in enumerate(order):
         nl, nr, nb, poses = entry
         model_s = modeled_batch_seconds(nl, nr, poses)
+        est_compile = 1.2 * float(np.median(compile_hist[-3:]))
         est_bucket = est_compile + (args.reps + 1) * model_s
         elapsed = time.time() - t_start
         if k > 0 and elapsed + est_bucket > args.budget:
@@ -384,7 +387,7 @@ def main():
             pipeline, nl, nr, nb, poses,
             n_rep=args.reps, anomaly_factor=args.anomaly_factor,
         )
-        est_compile = max(est_compile, 1.2 * r["compile_s"])
+        compile_hist.append(max(60.0, r["compile_s"]))
         tag = ""
         if r["anomaly"]:
             quarantined.add(entry)

@@ -121,7 +121,19 @@ def conf_scores_fn(cparams, cstats, data, poses):
 conf_scores_fn = jax.jit(conf_scores_fn)
 
 
-def dock_and_rmsd(pipe, n, n_sets, seed0):
+def true_pocket_center(data_real):
+    """Reference ``utils/sampling.py:20-29``: mean of receptor residues
+    within 5 A of any true ligand atom (centered frame)."""
+    rec = np.asarray(data_real.rec_pos)[np.asarray(data_real.rec_mask, bool)]
+    lig = np.asarray(data_real.lig_pos)[np.asarray(data_real.lig_mask, bool)]
+    d = np.linalg.norm(rec[:, None] - lig[None], axis=-1)
+    label = (d < 5.0).any(axis=1)
+    if label.any():
+        return rec[label].mean(axis=0)
+    return rec[d.min(axis=1).argmin()]
+
+
+def dock_and_rmsd(pipe, n, n_sets, seed0, pocket_center=None):
     """Dock complex ``n`` n_sets x N_POSES times; returns (poses, rmsds)
     in the original frame with symmetry-corrected RMSD to the crystal."""
     data = padded[n]
@@ -132,7 +144,8 @@ def dock_and_rmsd(pipe, n, n_sets, seed0):
         : datas[n].n_lig]
     all_poses, all_rmsds = [], []
     for s in range(n_sets):
-        res = pipe.dock_complex(data, num_poses=N_POSES, seed=seed0 + 17 * s)
+        res = pipe.dock_complex(data, num_poses=N_POSES, seed=seed0 + 17 * s,
+                                pocket_center=pocket_center)
         real = res.poses[:, : datas[n].n_lig]
         r = symmetry_rmsd(ref, real, heavy.elements, bonds, perms=perms)
         all_poses.append(res.poses)
@@ -177,8 +190,9 @@ for fold_i, held in enumerate(fold_names):
     print(f"  {i_global} steps in {time.time() - t_all:.0f}s, final loss "
           f"{float(m['loss']):.4f}", flush=True)
 
+    params_tree = {"params": state.params, "batch_stats": state.batch_stats}
     pipe = DockingPipeline(
-        infer_cfg, {"params": state.params, "batch_stats": state.batch_stats},
+        infer_cfg, params_tree,
         SamplerConfig(), so3_tables=so3, torus_tables=torus)
 
     # ---- dock the HELD-OUT complex (never seen in training)
@@ -195,6 +209,26 @@ for fold_i, held in enumerate(fold_names):
     print(f"  [{held}] HELD-OUT best {row['best_rmsd']:.2f} A median "
           f"{row['median_rmsd']:.2f} A frac<2 {row['frac_lt2']:.2f} "
           f"frac<5 {row['frac_lt5']:.2f}", flush=True)
+
+    # ---- pocket-knowledge variant (reference evaluate.py:364-368):
+    # initial placement at the true pocket center with pocket_tr_max=3 —
+    # decomposes blind-search transfer from local-refinement transfer
+    pk_pipe = DockingPipeline(
+        infer_cfg, params_tree,
+        SamplerConfig(pocket_tr_max=3.0),
+        so3_tables=so3, torus_tables=torus)
+    pk_center = true_pocket_center(datas[held])
+    pk_poses, pk_rmsds = dock_and_rmsd(
+        pk_pipe, held, HELD_POSE_SETS, seed0=7, pocket_center=pk_center)
+    row["pocket_knowledge"] = {
+        "best_rmsd": float(pk_rmsds.min()),
+        "median_rmsd": float(np.median(pk_rmsds)),
+        "frac_lt2": float((pk_rmsds < 2).mean()),
+        "frac_lt5": float((pk_rmsds < 5).mean()),
+    }
+    print(f"  [{held}] POCKET-GIVEN best {pk_rmsds.min():.2f} A median "
+          f"{np.median(pk_rmsds):.2f} A frac<2 {(pk_rmsds < 2).mean():.2f} "
+          f"frac<5 {(pk_rmsds < 5).mean():.2f}", flush=True)
 
     # ---- confidence: train on TRAIN-complex poses, rank HELD-OUT poses
     bank = {n: dock_and_rmsd(pipe, n, TRAIN_POSE_SETS, seed0=101)
@@ -269,6 +303,12 @@ if rows:
         np.median([r["median_rmsd"] for r in rows]))
     gate["mean_frac_lt5_heldout"] = float(
         np.mean([r["frac_lt5"] for r in rows]))
+    pk = [r["pocket_knowledge"] for r in rows if "pocket_knowledge" in r]
+    if pk:
+        gate["median_best_rmsd_heldout_pocket"] = float(
+            np.median([p["best_rmsd"] for p in pk]))
+        gate["mean_frac_lt5_heldout_pocket"] = float(
+            np.mean([p["frac_lt5"] for p in pk]))
     conf_rows = [r["confidence"] for r in rows if "confidence" in r]
     gate["confidence_top1_success"] = float(
         np.mean([c["top1_below_cutoff"] for c in conf_rows]))
