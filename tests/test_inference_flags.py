@@ -237,6 +237,9 @@ def _bucket_capture_pipeline(bucket_ladder):
     pipe.confidence_model = None
     pipe.sampler_cfg = SamplerConfig(inference_steps=2, actual_steps=2)
     pipe._compiled = {}
+    pipe._executables = {}
+    pipe._quarantined = set()
+    pipe.anomaly_guard = 0.0
     pipe.captured = []
 
     def fake_get_compiled(bucket, num_poses, with_aa, with_traj):
