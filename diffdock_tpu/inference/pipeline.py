@@ -688,7 +688,7 @@ class DockingPipeline:
                 )
                 for k in range(3)
             )
-            chunk = batch_size
+            chunk, guard_entry = batch_size, None
             if self.bucket_ladder == "cover":
                 from diffdock_tpu.inference.ladder import cover_bucket
 
@@ -698,6 +698,7 @@ class DockingPipeline:
                     # the ladder's P is a per-chip bound; each device holds
                     # exactly one complex here, so it applies directly
                     chunk = min(chunk, cov[3]) if chunk else cov[3]
+                    guard_entry = cov
 
             # normalize the data-dependent widths (max bond degree, receptor
             # kNN column count) across chunk members so the trees stack
@@ -764,9 +765,19 @@ class DockingPipeline:
                     )
                     for i in pad_idxs
                 ])
-                poses, conf, affinity, _ = fn(
-                    (self.score_params, self.confidence_params),
-                    keys, padded, padded_aa, pockets,
+                # the guard times each chunk against the per-device cost
+                # model (one complex per device; pchunk poses in flight);
+                # a quarantine re-routes subsequent GROUPS of the sweep —
+                # remaining chunks of this group keep the compiled program
+                # (results are correct, just slow)
+                poses, conf, affinity, _ = self._execute(
+                    key, fn,
+                    (
+                        (self.score_params, self.confidence_params),
+                        keys, padded, padded_aa, pockets,
+                    ),
+                    guard_entry=guard_entry,
+                    poses_per_device=pchunk,
                 )
                 pose_parts.append(np.asarray(poses))
                 conf_parts.append(np.asarray(conf))

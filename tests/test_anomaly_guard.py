@@ -104,6 +104,33 @@ def test_guard_disabled_and_not_tripped(setup, monkeypatch):
     np.testing.assert_allclose(r1.poses, r2.poses, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # compile-heavy (shard_map program on a 2-device mesh)
+def test_guard_covers_dock_batch(setup, monkeypatch):
+    """The complex-sharded sweep path is guarded too: a pathological
+    chunk quarantines its cover entry, and the NEXT group of the sweep
+    re-routes (remaining chunks of the tripping group keep the compiled
+    program — correct results, just slow)."""
+    from diffdock_tpu.parallel.mesh import make_mesh
+
+    # dock_batch covers the GROUP's fine bucket (16x64x8 for this
+    # complex), not the raw sizes — the tiny ladder must fit that
+    batch_ladder = ((16, 64, 8, 2), (32, 128, 8, 2))
+    monkeypatch.setattr(ladder, "COVER_LADDER", batch_ladder)
+    so3, torus, data, cfg, params = setup
+    pipe = DockingPipeline(
+        cfg, params, SamplerConfig(inference_steps=2, actual_steps=2),
+        so3_tables=so3, torus_tables=torus, mesh=make_mesh(2),
+        bucket_ladder="cover", anomaly_guard=1e-9,
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        res = pipe.dock_batch([data, data], num_poses=2, seed=0)
+    assert len(res) == 2
+    assert all(np.isfinite(r.poses).all() for r in res)
+    assert batch_ladder[0] in pipe._quarantined
+    assert any("quarantined" in str(x.message) for x in w)
+
+
 def test_guard_default_off_on_cpu(setup):
     # auto mode: the cost model is chip-specific, so the guard must stay
     # off on non-TPU backends (CPU tests would spuriously quarantine)
