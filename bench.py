@@ -51,6 +51,16 @@ Extra modes:
   python bench.py --pocket    additionally measure the NR>1024 buckets
                               with crop_beyond pocket compaction and
                               report an alternate weighted headline
+  python bench.py --fine_plan measure the WARMED-SERVICE plan: every
+                              churn complex in its minimal-padding fine
+                              bucket (~38 programs at x1.56 mean padding
+                              vs the cover ladder's 16 at x2.02) with the
+                              largest HBM-safe pose batch. This is what a
+                              long-running service executes once the
+                              persistent cache is warm (prewarm --fine);
+                              the cover ladder remains the cold-sweep
+                              default because 38 cold compiles dominate a
+                              first run. Reported as weighted_fine.
 """
 
 import argparse
@@ -69,14 +79,12 @@ N_CHURN_COMPLEXES = 150
 
 
 def churn_sizes(n=N_CHURN_COMPLEXES, seed=7):
-    """A realistic PDBBind-test-like complex-size draw (ligand heavy atoms,
-    receptor residues): ligands ~8-60 heavy atoms; receptor residues
-    log-spread over ~100-3000 with the mass around 200-600 (the reference
-    caps receptors at 3000, datasets/process_mols.py:169-170)."""
-    rng = np.random.RandomState(seed)
-    nl = np.clip(rng.normal(30, 12, n).astype(int), 8, 120)
-    nr = np.clip(np.exp(rng.normal(5.9, 0.7, n)).astype(int), 90, 3000)
-    return list(zip(nl.tolist(), nr.tolist()))
+    """The PDBBind-like complex-size mix behind the weighted headline
+    (moved to ``inference/ladder.pdbbind_like_sizes`` so the prewarm CLI
+    shares it; kept as an alias for tests/scripts)."""
+    from diffdock_tpu.inference.ladder import pdbbind_like_sizes
+
+    return pdbbind_like_sizes(n, seed)
 
 
 def run_churn():
@@ -251,6 +259,14 @@ def _weighted_plan(measured, quarantined):
     return total_time, total_poses, filled, float(np.mean(pad_area))
 
 
+def fine_plan():
+    """Warmed-service plan for the churn mix (see
+    ``inference/ladder.fine_plan``)."""
+    from diffdock_tpu.inference.ladder import fine_plan as _fp
+
+    return _fp(churn_sizes())
+
+
 def _churn_weight_order():
     """Cover-ladder entries ordered by descending contribution to the
     weighted plan (modeled), so a budget cutoff loses only the tail."""
@@ -268,7 +284,8 @@ def _churn_weight_order():
     return sorted(COVER_LADDER, key=lambda e: -weight[e]), weight
 
 
-def _emit_headline(details, measured, quarantined, partial, pocket_time=None):
+def _emit_headline(details, measured, quarantined, partial, pocket_time=None,
+                   fine_pps=None):
     """Recompute the weighted plan, update ``details``, and print a
     headline JSON line to stdout (provisional while ``partial``)."""
     total_time, total_poses, filled, mean_pad = _weighted_plan(
@@ -306,6 +323,11 @@ def _emit_headline(details, measured, quarantined, partial, pocket_time=None):
     if pocket_time is not None:
         w_pocket = total_poses / pocket_time
         line["weighted_pocket_poses_per_sec"] = round(w_pocket, 3)
+    if fine_pps is not None:
+        line["weighted_fine_poses_per_sec"] = round(fine_pps, 3)
+        line["weighted_fine_vs_baseline"] = round(
+            fine_pps / A100_BASELINE_POSES_PER_SEC, 3
+        )
     print(json.dumps(line), flush=True)
     return weighted
 
@@ -335,6 +357,10 @@ def main():
                     help="also measure the big cover buckets with the "
                          "reference's crop_beyond pocket compaction and "
                          "report an alternate weighted headline")
+    ap.add_argument("--fine_plan", action="store_true",
+                    help="also measure the warmed-service fine-ladder "
+                         "plan (~38 minimal-padding programs) and report "
+                         "weighted_fine (see module docstring)")
     ap.add_argument("--steps", type=int, default=STEPS)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--budget", type=float,
@@ -487,6 +513,88 @@ def main():
             f"poses/s", file=sys.stderr,
         )
 
+    if args.fine_plan:
+        # warmed-service plan: minimal-padding fine buckets, measured in
+        # descending plan-weight order with incremental banking so a cut
+        # run still lands a mostly-measured number
+        plan = fine_plan()
+        f_order = sorted(
+            plan,
+            key=lambda e: -len(plan[e])
+            * -(-POSES_PER_COMPLEX // e[3])
+            * modeled_batch_seconds(e[0], e[1], e[3]),
+        )
+        fine_measured, fine_anomalies = {}, []
+        for entry in f_order:
+            nl, nr, nb, poses = entry
+            elapsed = time.time() - t_start
+            if elapsed > args.budget:
+                break
+            r = _bench_bucket(
+                pipeline, nl, nr, nb, poses,
+                n_rep=args.reps, anomaly_factor=args.anomaly_factor,
+            )
+            if r["anomaly"]:
+                fine_anomalies.append(list(entry))
+            else:
+                fine_measured[entry] = r["steady_s_per_batch"]
+            print(
+                f"# fine-plan bucket nl={nl} nr={nr} nb={nb} P={poses} "
+                f"({len(plan[entry])} complexes): compile "
+                f"{r['compile_s']:.1f}s, steady "
+                f"{r['steady_s_per_batch']:.2f}s/batch -> "
+                f"{r['poses_per_sec']:.2f} poses/s", file=sys.stderr,
+            )
+            details[f"fineplan_{nl}x{nr}_p{poses}"] = {
+                "bucket": {"nl": nl, "nr": nr, "nb": nb},
+                "poses_in_flight": poses,
+                "complexes_served": len(plan[entry]),
+                "compile_s": round(r["compile_s"], 1),
+                "steady_s_per_batch": round(r["steady_s_per_batch"], 3),
+                "poses_per_sec": round(r["poses_per_sec"], 3),
+                **({"anomaly": True} if r["anomaly"] else {}),
+            }
+            # incremental weighted_fine (model fill for unmeasured tail)
+            f_time, f_filled, f_pad = 0.0, 0, []
+            for e, members in plan.items():
+                t = fine_measured.get(
+                    e, modeled_batch_seconds(e[0], e[1], e[3])
+                )
+                if e not in fine_measured:
+                    f_filled += len(members)
+                batches = -(-POSES_PER_COMPLEX // e[3])
+                f_time += len(members) * batches * t
+                f_pad += [
+                    (e[0] * e[1]) / (c[0] * c[1]) for c in members
+                ]
+            total_poses_fine = POSES_PER_COMPLEX * sum(
+                len(m) for m in plan.values()
+            )
+            w_fine = total_poses_fine / f_time
+            details["weighted_fine"] = {
+                "complexes": N_CHURN_COMPLEXES,
+                "poses_per_complex": POSES_PER_COMPLEX,
+                "total_time_s": round(f_time, 1),
+                "poses_per_sec": round(w_fine, 3),
+                "programs": len(plan),
+                "measured_programs": len(fine_measured),
+                "model_filled_complexes": f_filled,
+                "mean_fine_padding": round(float(np.mean(f_pad)), 3),
+                "anomalies": fine_anomalies,
+            }
+            _write_details(details)
+        if "weighted_fine" in details:
+            print(
+                f"# weighted (fine plan, warmed service): "
+                f"{details['weighted_fine']['poses_per_sec']} poses/s over "
+                f"{details['weighted_fine']['programs']} programs "
+                f"(x{details['weighted_fine']['mean_fine_padding']} mean "
+                f"padding)", file=sys.stderr,
+            )
+        else:
+            print("# fine plan: budget exhausted before any bucket "
+                  "measured", file=sys.stderr)
+
     if args.fine:
         for name, nl, nr, nb, poses in (
             ("medium_fine", 64, 1024, 16, 16), ("large_fine", 96, 2304, 32, 8)
@@ -508,6 +616,10 @@ def main():
     _emit_headline(
         details, measured, quarantined,
         partial=bool(skipped_budget), pocket_time=pocket_time,
+        fine_pps=(
+            details["weighted_fine"]["poses_per_sec"]
+            if args.fine_plan and "weighted_fine" in details else None
+        ),
     )
     _write_details(details)
     print("# wrote BENCH_DETAILS.json", file=sys.stderr)

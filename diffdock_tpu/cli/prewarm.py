@@ -63,6 +63,12 @@ def get_parser():
                         "(inference/ladder.py)")
     p.add_argument("--no_cover_ladder", action="store_true", default=False,
                    help="only compile --bucket entries")
+    p.add_argument("--fine", action="store_true", default=False,
+                   help="additionally compile the warmed-service fine "
+                        "plan (~38 minimal-padding programs for a "
+                        "PDBBind-like size mix, bench.py fine_plan) — "
+                        "hours cold, then every sweep runs the "
+                        "minimal-padding plan from cache")
     p.add_argument("--samples_per_complex", type=int, default=None,
                    help="also compile each cover bucket at this pose count "
                         "(e.g. 10 for the reference default recipe)")
@@ -157,6 +163,10 @@ def main(argv=None) -> int:
 
     ladder = [] if args.no_cover_ladder else list(COVER_LADDER)
     jobs = list(ladder)
+    if args.fine:
+        from diffdock_tpu.inference.ladder import fine_plan
+
+        jobs += list(fine_plan().keys())
     if args.samples_per_complex:
         jobs += [
             (nl, nr, nb, args.samples_per_complex)

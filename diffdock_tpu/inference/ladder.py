@@ -79,6 +79,51 @@ def modeled_batch_seconds(nl: int, nr: int, poses: int) -> float:
     return poses * (COST_PER_AREA_S * nl * nr + COST_BASE_S)
 
 
+# HBM-proven in-flight bound: 8 poses x 96 lig x 2304 res of DiffDock-L
+# activations fit one v5e chip (bench-proven, PERF.md)
+HBM_AREA_BOUND = 8 * 96 * 2304
+
+
+def pdbbind_like_sizes(n: int = 150, seed: int = 7):
+    """A realistic PDBBind-test-like complex-size draw (ligand heavy
+    atoms, receptor residues): ligands ~8-60 heavy atoms; receptors
+    log-spread over ~100-3000 with the mass around 200-600 (the reference
+    caps receptors at 3000, datasets/process_mols.py:169-170). The
+    default mix behind bench.py's weighted headline and
+    ``prewarm --fine``."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    nl = np.clip(rng.normal(30, 12, n).astype(int), 8, 120)
+    nr = np.clip(np.exp(rng.normal(5.9, 0.7, n)).astype(int), 90, 3000)
+    return list(zip(nl.tolist(), nr.tolist()))
+
+
+def fine_plan(sizes=None):
+    """The warmed-service execution plan: each complex in its
+    minimal-padding fine bucket (``data/complexes.bucket_sizes``, what
+    ``DockingPipeline(bucket_ladder="fine")`` pads to) with the largest
+    HBM-safe pose batch that divides the 40-pose recipe into whole
+    batches. ~38 programs at x1.56 mean padding for the default mix vs
+    the cover ladder's 16 at x2.02 — the right plan once the persistent
+    cache is warm (``prewarm --fine``); the cover ladder remains the
+    cold-sweep default. Returns {(nl, nr, nb, P): [(nl_c, nr_c), ...]}."""
+    from diffdock_tpu.data.complexes import bucket_sizes
+
+    if sizes is None:
+        sizes = pdbbind_like_sizes()
+    plan = {}
+    for nl_c, nr_c in sizes:
+        nb_c = max(1, nl_c // 4)
+        nl, nr, nb = bucket_sizes(nl_c, nr_c, nb_c)
+        poses = next(
+            p for p in (40, 20, 10, 8, 5, 4, 2, 1)
+            if p * nl * nr <= HBM_AREA_BOUND
+        )
+        plan.setdefault((nl, nr, nb, poses), []).append((nl_c, nr_c))
+    return plan
+
+
 def cover_bucket(
     n_lig: int,
     n_rec: int,

@@ -7,8 +7,33 @@ import json
 import bench
 from diffdock_tpu.inference.ladder import (
     COVER_LADDER,
+    HBM_AREA_BOUND,
+    fine_plan,
     modeled_batch_seconds,
+    pdbbind_like_sizes,
 )
+
+
+def test_fine_plan_covers_every_complex_hbm_safe():
+    sizes = pdbbind_like_sizes()
+    plan = fine_plan(sizes)
+    assert sum(len(m) for m in plan.values()) == len(sizes)
+    for (nl, nr, nb, poses), members in plan.items():
+        assert poses * nl * nr <= HBM_AREA_BOUND
+        assert 40 % poses == 0  # whole batches for the 40-pose recipe
+        for nl_c, nr_c in members:
+            assert nl_c <= nl and nr_c <= nr
+    # the fine plan pads strictly less than the cover plan on average
+    cover_pad = []
+    fine_pad = []
+    from diffdock_tpu.inference.ladder import cover_bucket
+
+    for nl_c, nr_c in sizes:
+        cov = cover_bucket(nl_c, nr_c, max(1, nl_c // 4))
+        cover_pad.append(cov[0] * cov[1] / (nl_c * nr_c))
+    for e, members in plan.items():
+        fine_pad += [e[0] * e[1] / (c[0] * c[1]) for c in members]
+    assert sum(fine_pad) / len(fine_pad) < sum(cover_pad) / len(cover_pad)
 
 
 def test_weight_order_covers_ladder_and_descends():
