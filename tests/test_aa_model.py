@@ -32,7 +32,7 @@ def setup():
     so3 = get_so3_tables(SO3_SMALL)
     torus = get_torus_tables(TORUS_SMALL)
     t = jnp.asarray(0.5)
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), data, data.base.lig_pos, t, so3, torus
     )
     return cfg, model, data, so3, torus, params
@@ -96,7 +96,7 @@ def test_aa_confidence_mode(setup):
         confidence_mode=True,
     )
     model = AAScoreModel(cfg)
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(3), data, data.base.lig_pos, jnp.asarray(0.0),
         so3, torus,
     )

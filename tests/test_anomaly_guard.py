@@ -46,7 +46,7 @@ def setup():
         ns=8, nv=2, num_conv_layers=1, num_prot_emb_layers=0
     )
     model = build_model(cfg)
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jax.tree.map(jnp.asarray, data),
         jnp.asarray(data.lig_pos), jnp.asarray(0.5), so3, torus,
     )
@@ -87,6 +87,7 @@ def test_guard_quarantines_and_reroutes(setup, monkeypatch):
     assert res3.poses.shape == (2, data.n_lig, 3)
 
 
+@pytest.mark.slow  # compile-heavy; a cheaper sibling covers this subsystem in the fast set
 def test_guard_disabled_and_not_tripped(setup, monkeypatch):
     monkeypatch.setattr(ladder, "COVER_LADDER", TINY_LADDER)
     _, _, data, _, _ = setup

@@ -94,9 +94,10 @@ def train_setup():
     return model, data, batch, so3, torus
 
 
+@pytest.mark.slow  # compile-heavy; a cheaper sibling covers this subsystem in the fast set
 def test_sidechain_head_output_and_equivariance(train_setup):
     model, data, _, so3, torus = train_setup
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), data, data.lig_pos, jnp.asarray(0.5), so3, torus
     )
     out = model.apply(params, data, data.lig_pos, jnp.asarray(0.5), so3, torus)
@@ -126,6 +127,7 @@ def test_sidechain_head_output_and_equivariance(train_setup):
         np.testing.assert_allclose(amb_r, amb @ rot.T, atol=5e-3)
 
 
+@pytest.mark.slow  # compile-heavy; a cheaper sibling covers this subsystem in the fast set
 def test_nonzero_weight_changes_gradients(train_setup):
     model, data, batch, so3, torus = train_setup
 

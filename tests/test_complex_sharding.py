@@ -41,7 +41,7 @@ def setup():
         ns=8, nv=2, num_conv_layers=2, num_prot_emb_layers=0
     )
     model = build_model(score_cfg)
-    sp = model.init(
+    sp = jax.jit(model.init)(
         jax.random.PRNGKey(0), jax.tree.map(jnp.asarray, datas[0]),
         jnp.asarray(datas[0].lig_pos), jnp.asarray(0.5), so3, torus,
     )

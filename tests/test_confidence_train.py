@@ -169,7 +169,7 @@ def test_confidence_step_learns():
     params, stats = variables["params"], variables.get("batch_stats", {})
     step, tx = make_confidence_train_step(model, tcfg, so3, torus)
     step = jax.jit(step)
-    opt = tx.init(params)
+    opt = jax.jit(tx.init)(params)
     batch = (datas, jnp.asarray(poses), labels)
     losses = []
     for i in range(40):
@@ -181,6 +181,7 @@ def test_confidence_step_learns():
     assert losses[-1] < 0.55, f"no learning: {losses[0]:.3f}->{losses[-1]:.3f}"
 
 
+@pytest.mark.slow  # compile-heavy; a cheaper sibling covers this subsystem in the fast set
 def test_confidence_data_parallel_matches_single_device():
     """The dp=8-sharded confidence step must produce the same update as
     the single-device step on the same global batch: dropout is 0, so the
@@ -237,7 +238,7 @@ def test_confidence_data_parallel_matches_single_device():
         else:
             step, tx = make_confidence_train_step(model, tcfg, so3, torus)
             step = jax.jit(step)
-        opt = tx.init(params)
+        opt = jax.jit(tx.init)(params)
         for i in range(2):
             params, stats, opt, m = step(params, stats, opt, batch,
                                          jax.random.PRNGKey(i))

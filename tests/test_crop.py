@@ -43,7 +43,7 @@ def test_mask_crop_equals_physical_crop(tables):
     rng = np.random.RandomState(0)
     raw = synthetic_complex(rng, n_lig=8, n_rec=24, n_bonds=2)
     data = jax.tree.map(jnp.asarray, raw)
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), data, data.lig_pos, jnp.asarray(0.5), so3, torus
     )
     cutoff = 12.0
@@ -77,13 +77,14 @@ def test_mask_crop_equals_physical_crop(tables):
     )
 
 
+@pytest.mark.slow  # compile-heavy; a cheaper sibling covers this subsystem in the fast set
 def test_huge_cutoff_is_noop(tables):
     so3, torus = tables
     model = CGScoreModel(CFG)
     rng = np.random.RandomState(1)
     raw = synthetic_complex(rng, n_lig=8, n_rec=16, n_bonds=2)
     data = jax.tree.map(jnp.asarray, raw)
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(1), data, data.lig_pos, jnp.asarray(0.5), so3, torus
     )
     keep = rec_keep_mask(
@@ -98,6 +99,7 @@ def test_huge_cutoff_is_noop(tables):
     np.testing.assert_allclose(np.asarray(a.tr), np.asarray(b.tr), atol=1e-5)
 
 
+@pytest.mark.slow  # compile-heavy; a cheaper sibling covers this subsystem in the fast set
 def test_aa_mask_crop_equals_physical_crop(tables):
     so3, torus = tables
     cfg = dataclasses.replace(CFG, all_atoms=True, confidence_mode=True)
@@ -106,7 +108,7 @@ def test_aa_mask_crop_equals_physical_crop(tables):
     raw = synthetic_aa_complex(rng, n_lig=8, n_rec=20, n_bonds=2,
                                atoms_per_res=3)
     data = jax.tree.map(jnp.asarray, raw)
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(2), data, data.base.lig_pos, jnp.asarray(0.0),
         so3, torus,
     )
@@ -147,7 +149,7 @@ def test_pipeline_crop_beyond_runs(tables):
     rng = np.random.RandomState(3)
     raw = synthetic_complex(rng, n_lig=8, n_rec=16, n_bonds=2)
     data = jax.tree.map(jnp.asarray, raw)
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(3), data, data.lig_pos, jnp.asarray(0.5), so3, torus
     )
     pipe = DockingPipeline(
@@ -170,7 +172,7 @@ def test_compact_receptor_equals_mask_crop(tables):
     rng = np.random.RandomState(3)
     raw = synthetic_complex(rng, n_lig=8, n_rec=24, n_bonds=2)
     data = jax.tree.map(jnp.asarray, raw)
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), data, data.lig_pos, jnp.asarray(0.5), so3, torus
     )
     cutoff = 12.0
@@ -244,7 +246,7 @@ def test_pipeline_pocket_capacity_runs(tables):
     rng = np.random.RandomState(5)
     raw = synthetic_complex(rng, n_lig=8, n_rec=16, n_bonds=2)
     data = jax.tree.map(jnp.asarray, raw)
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(5), data, data.lig_pos, jnp.asarray(0.5), so3, torus
     )
     pipe = DockingPipeline(

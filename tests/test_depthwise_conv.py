@@ -57,7 +57,7 @@ def _layer_case(depthwise):
 @pytest.mark.parametrize("depthwise", [False, True])
 def test_layer_shapes_and_param_structure(depthwise):
     layer, attr, vec, build = _layer_case(depthwise)
-    variables = layer.init(
+    variables = jax.jit(layer.init)(
         jax.random.PRNGKey(0), jnp.asarray(attr), [build(vec, attr)],
         jnp.ones(attr.shape[0], bool),
     )
@@ -108,7 +108,7 @@ def test_depthwise_layer_equivariance():
             off += d
         return out
 
-    variables = layer.init(
+    variables = jax.jit(layer.init)(
         jax.random.PRNGKey(1), jnp.asarray(attr), [build(vec, attr)],
         jnp.ones(n, bool),
     )
@@ -136,6 +136,7 @@ def test_depthwise_layer_equivariance():
             off += d
 
 
+@pytest.mark.slow  # compile-heavy; a cheaper sibling covers this subsystem in the fast set
 def test_cg_model_depthwise_end_to_end():
     so3 = get_so3_tables(SO3_SMALL)
     torus = get_torus_tables(TORUS_SMALL)
@@ -148,7 +149,7 @@ def test_cg_model_depthwise_end_to_end():
     data = jax.tree.map(
         jnp.asarray, synthetic_complex(rng, n_lig=8, n_rec=16, n_bonds=2)
     )
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), data, data.lig_pos, jnp.asarray(0.5), so3, torus
     )
     out = model.apply(params, data, data.lig_pos, jnp.asarray(0.5), so3, torus)

@@ -58,7 +58,7 @@ def test_layer_factored_equals_naive(with_weight):
     naive = TPConvLayer(factored=False, **kwargs)
     fact = TPConvLayer(factored=True, **kwargs)
     # identical param trees (factored shares the same FCBlock params)
-    v = naive.init(jax.random.PRNGKey(0), recv, blocks, mask)
+    v = jax.jit(naive.init)(jax.random.PRNGKey(0), recv, blocks, mask)
     out_naive = naive.apply(v, recv, blocks, mask)
     out_fact = fact.apply(v, recv, blocks, mask)
     np.testing.assert_allclose(
@@ -66,6 +66,7 @@ def test_layer_factored_equals_naive(with_weight):
     )
 
 
+@pytest.mark.slow  # compile-heavy; a cheaper sibling covers this subsystem in the fast set
 def test_full_model_factored_equals_naive():
     base = ScoreModelConfig(ns=8, nv=2, num_conv_layers=2, num_prot_emb_layers=1)
     rng = np.random.RandomState(5)
@@ -77,7 +78,7 @@ def test_full_model_factored_equals_naive():
     t = jnp.asarray(0.5)
 
     model = CGScoreModel(base)
-    params = model.init(jax.random.PRNGKey(0), data, data.lig_pos, t, so3, torus)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), data, data.lig_pos, t, so3, torus)
     out_f = model.apply(params, data, data.lig_pos, t, so3, torus)
 
     naive_model = CGScoreModel(dataclasses.replace(base, factored_tp=False))

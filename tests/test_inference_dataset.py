@@ -243,7 +243,7 @@ def test_sequence_to_dock_end_to_end(tmp_path):
     model = build_model(cfg)
     import jax.numpy as jnp
 
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jax.tree.map(jnp.asarray, c.data),
         jnp.asarray(c.data.lig_pos), jnp.asarray(0.5), so3, torus,
     )

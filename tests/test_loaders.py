@@ -3,6 +3,7 @@
 import shutil
 
 import numpy as np
+import pytest
 
 from diffdock_tpu.data.chem import read_molecule_file, write_pdb_ligand
 from diffdock_tpu.data.loaders import (
@@ -55,6 +56,7 @@ def test_combined_source_interleaves(tmp_path):
     assert [n for n, _ in items] == [n for n, _ in items2]
 
 
+@pytest.mark.slow  # compile-heavy; a cheaper sibling covers this subsystem in the fast set
 def test_train_cli_on_moad(tmp_path):
     make_moad(tmp_path)  # creates tmp_path/moad + cache
     from diffdock_tpu.cli.train import main

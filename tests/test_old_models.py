@@ -49,7 +49,7 @@ def cg_setup(tables):
     data = jax.tree.map(
         jnp.asarray, synthetic_complex(rng, n_lig=8, n_rec=12, n_bonds=2)
     )
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), data, data.lig_pos, jnp.asarray(0.5), so3, torus
     )
     return model, data, params
@@ -65,7 +65,7 @@ def aa_setup(tables):
         jnp.asarray,
         synthetic_aa_complex(rng, n_lig=8, n_rec=12, n_bonds=2, atoms_per_res=3),
     )
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(1), data, data.base.lig_pos, jnp.asarray(0.0),
         so3, torus,
     )
@@ -106,13 +106,14 @@ def test_old_cg_equivariance(cg_setup, tables):
     )
 
 
+@pytest.mark.slow  # compile-heavy; a cheaper sibling covers this subsystem in the fast set
 def test_old_cg_padding_invariance(tables):
     so3, torus = tables
     model = OldCGScoreModel(OLD_CFG)
     rng = np.random.RandomState(3)
     raw = synthetic_complex(rng, n_lig=8, n_rec=12, n_bonds=2)
     data = jax.tree.map(jnp.asarray, raw)
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(2), data, data.lig_pos, jnp.asarray(0.5), so3, torus
     )
     out = model.apply(params, data, data.lig_pos, jnp.asarray(0.5), so3, torus)
@@ -137,7 +138,7 @@ def test_old_cg_lm_embedding_overlap_slicing(tables):
     rng = np.random.RandomState(4)
     data = synthetic_complex(rng, n_lig=8, n_rec=12, n_bonds=2, lm_dim=64)
     data = jax.tree.map(jnp.asarray, data)
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(3), data, data.lig_pos, jnp.asarray(0.5), so3, torus
     )
     out = model.apply(params, data, data.lig_pos, jnp.asarray(0.5), so3, torus)
@@ -149,6 +150,7 @@ def test_old_cg_lm_embedding_overlap_slicing(tables):
     assert not np.allclose(np.asarray(out_b.tr), np.asarray(out.tr))
 
 
+@pytest.mark.slow  # compile-heavy; a cheaper sibling covers this subsystem in the fast set
 def test_old_aa_confidence_shapes_and_padding(aa_setup, tables):
     so3, torus = tables
     model, data, params = aa_setup
@@ -166,6 +168,7 @@ def test_old_aa_confidence_shapes_and_padding(aa_setup, tables):
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out), atol=2e-4)
 
 
+@pytest.mark.slow  # compile-heavy; a cheaper sibling covers this subsystem in the fast set
 def test_old_aa_confidence_invariance(aa_setup, tables):
     so3, torus = tables
     model, data, params = aa_setup
@@ -186,6 +189,7 @@ def test_old_aa_confidence_invariance(aa_setup, tables):
     np.testing.assert_allclose(np.asarray(out_r), np.asarray(out), atol=5e-3)
 
 
+@pytest.mark.slow  # compile-heavy; a cheaper sibling covers this subsystem in the fast set
 def test_old_aa_score_mode(tables):
     so3, torus = tables
     cfg = dataclasses.replace(OLD_CFG, all_atoms=True, num_conv_layers=2)
@@ -195,7 +199,7 @@ def test_old_aa_score_mode(tables):
         jnp.asarray,
         synthetic_aa_complex(rng, n_lig=8, n_rec=10, n_bonds=2, atoms_per_res=3),
     )
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(4), data, data.base.lig_pos, jnp.asarray(0.5),
         so3, torus,
     )

@@ -282,7 +282,7 @@ def test_irreps_linear_equivariance_and_type_isolation():
     lin = IrrepsLinear(irreps_in=str(ir_in), irreps_out=str(ir_out))
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(6, ir_in.dim), jnp.float32)
-    params = lin.init(jax.random.PRNGKey(0), x)
+    params = jax.jit(lin.init)(jax.random.PRNGKey(0), x)
     y = lin.apply(params, x)
     assert y.shape == (6, ir_out.dim)
 
@@ -333,7 +333,7 @@ def test_depthwise_tp_equivariance_and_linear_composition():
     assert mid.shape == (6, dtp.irreps_mid.dim)
 
     lin = IrrepsLinear(irreps_in=str(dtp.irreps_mid), irreps_out=str(out))
-    params = lin.init(jax.random.PRNGKey(0), mid)
+    params = jax.jit(lin.init)(jax.random.PRNGKey(0), mid)
     y = lin.apply(params, mid)
     assert y.shape == (6, out.dim)
 

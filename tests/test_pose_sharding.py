@@ -62,7 +62,7 @@ def setup():
         ns=8, nv=2, num_conv_layers=2, num_prot_emb_layers=0
     )
     score_model = build_model(score_cfg)
-    sp = score_model.init(
+    sp = jax.jit(score_model.init)(
         jax.random.PRNGKey(0), jax.tree.map(jnp.asarray, aa.base),
         jnp.asarray(aa.base.lig_pos), jnp.asarray(0.5), so3, torus,
     )
@@ -96,7 +96,7 @@ def test_sharded_pipeline_confidence_affinity(setup):
         confidence_mode=True, all_atoms=True, affinity_prediction=True,
     )
     conf_model = build_model(conf_cfg)
-    cp = conf_model.init(
+    cp = jax.jit(conf_model.init)(
         jax.random.PRNGKey(1), jax.tree.map(jnp.asarray, aa),
         jnp.asarray(aa.base.lig_pos), jnp.asarray(0.0), so3, torus,
     )

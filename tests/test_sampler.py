@@ -32,7 +32,7 @@ def setup():
     data = jax.tree.map(jnp.asarray, data)
     so3 = get_so3_tables(SO3_SMALL)
     torus = get_torus_tables(TORUS_SMALL)
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), data, data.lig_pos, jnp.asarray(0.5), so3, torus
     )
     return cfg, model, data, so3, torus, params

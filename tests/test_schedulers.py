@@ -60,6 +60,7 @@ def test_scheduler_stage_and_ramp():
     assert stage99 == 3 and scale99 == 1.0
 
 
+@pytest.mark.slow  # compile-heavy; a cheaper sibling covers this subsystem in the fast set
 def test_masked_train_step_freezes_params():
     """With a stage-0 mask, head params move and frozen conv/embedding
     params stay bit-identical after a train step."""

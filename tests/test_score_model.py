@@ -30,7 +30,7 @@ def setup():
     so3 = get_so3_tables(SO3_SMALL)
     torus = get_torus_tables(TORUS_SMALL)
     t = jnp.asarray(0.5)
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), data, data.lig_pos, t, so3, torus
     )
     return cfg, model, data, so3, torus, params
@@ -105,6 +105,7 @@ def test_receptor_cache_consistency(setup):
     )
 
 
+@pytest.mark.slow  # compile-heavy; a cheaper sibling covers this subsystem in the fast set
 def test_vmap_over_poses(setup):
     cfg, model, data, so3, torus, params = setup
     cache = model.apply(params, data, method="embed_receptor")
@@ -140,7 +141,7 @@ def test_confidence_mode(setup):
         confidence_mode=True, confidence_no_batchnorm=False,
     )
     model = CGScoreModel(cfg)
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(1), data, data.lig_pos, jnp.asarray(0.0), so3, torus
     )
     out = model.apply(params, data, data.lig_pos, jnp.asarray(0.0), so3, torus)
@@ -148,6 +149,7 @@ def test_confidence_mode(setup):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow  # compile-heavy; a cheaper sibling covers this subsystem in the fast set
 def test_smooth_edges_changes_outputs(setup):
     """smooth_edges applies the cosine ramp (reference cg_model.py:459-465):
     outputs differ from hard edges but remain finite; the ramp itself decays
@@ -237,7 +239,7 @@ def test_odd_parity_equivariance():
     so3 = get_so3_tables(SO3_SMALL)
     torus = get_torus_tables(TORUS_SMALL)
     t = jnp.asarray(0.5)
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), data, data.lig_pos, t, so3, torus
     )
     out = model.apply(params, data, data.lig_pos, t, so3, torus)

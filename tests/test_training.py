@@ -112,12 +112,12 @@ def test_overfit_fixed_sample(setup):
     sample = apply_noise(
         jax.random.PRNGKey(0), data, cfg.sigma, so3, torus, t_override=0.4
     )
-    variables = model.init(
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(1), data, data.lig_pos, jnp.asarray(0.4), so3, torus
     )
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
     tx = optax.adam(3e-3)
-    opt_state = tx.init(params)
+    opt_state = jax.jit(tx.init)(params)
 
     @jax.jit
     def step(params, opt_state):
@@ -144,6 +144,7 @@ def test_overfit_fixed_sample(setup):
     assert losses[-1] < 0.3 * losses[0], (losses[0], losses[-1])
 
 
+@pytest.mark.slow  # compile-heavy; a cheaper sibling covers this subsystem in the fast set
 def test_data_parallel_matches_single_device(setup):
     """The dp=2-sharded step must produce the same update as single-device
     on the same global batch (modulo float reassociation)."""
@@ -187,6 +188,7 @@ def test_data_parallel_matches_single_device(setup):
     np.testing.assert_allclose(n1, n2, rtol=0.05)
 
 
+@pytest.mark.slow  # compile-heavy; a cheaper sibling covers this subsystem in the fast set
 def test_dp_grads_are_synchronized(setup):
     """After a sharded step, params must be identical across shards (the
     replicated-out spec would fail otherwise); explicitly check finiteness
@@ -214,6 +216,7 @@ def test_dp_grads_are_synchronized(setup):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.slow  # compile-heavy; a cheaper sibling covers this subsystem in the fast set
 def test_sigma_interval_metrics(setup):
     so3, torus, cfg, model, datas = setup
     tc = TrainConfig(log_sigma_intervals=True)
@@ -260,6 +263,7 @@ def test_train_cli_pretrain_and_fallback(tmp_path):
     ]) == 0
 
 
+@pytest.mark.slow  # compile-heavy; a cheaper sibling covers this subsystem in the fast set
 def test_eval_step_and_val_loss(setup, tmp_path):
     so3, torus, cfg, model, datas = setup
     from diffdock_tpu.train.trainer import make_eval_step
