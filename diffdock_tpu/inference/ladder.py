@@ -99,6 +99,19 @@ def pdbbind_like_sizes(n: int = 150, seed: int = 7):
     return list(zip(nl.tolist(), nr.tolist()))
 
 
+def fine_hbm_poses(nl: int, nr: int) -> int:
+    """Largest HBM-safe poses-in-flight for a fine bucket: the biggest
+    entry of the fine-plan P ladder (divisors of the 40-pose recipe, so
+    sweeps run whole batches) whose activation area fits the bench-proven
+    per-chip bound. Shared by ``fine_plan`` and the pipeline's fine-mode
+    default chunk so warmed services execute exactly the programs
+    ``prewarm --fine`` compiled."""
+    return next(
+        p for p in (40, 20, 10, 8, 5, 4, 2, 1)
+        if p * nl * nr <= HBM_AREA_BOUND or p == 1
+    )
+
+
 def fine_plan(sizes=None):
     """The warmed-service execution plan: each complex in its
     minimal-padding fine bucket (``data/complexes.bucket_sizes``, what
@@ -116,11 +129,9 @@ def fine_plan(sizes=None):
     for nl_c, nr_c in sizes:
         nb_c = max(1, nl_c // 4)
         nl, nr, nb = bucket_sizes(nl_c, nr_c, nb_c)
-        poses = next(
-            p for p in (40, 20, 10, 8, 5, 4, 2, 1)
-            if p * nl * nr <= HBM_AREA_BOUND
-        )
-        plan.setdefault((nl, nr, nb, poses), []).append((nl_c, nr_c))
+        plan.setdefault(
+            (nl, nr, nb, fine_hbm_poses(nl, nr)), []
+        ).append((nl_c, nr_c))
     return plan
 
 

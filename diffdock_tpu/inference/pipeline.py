@@ -415,6 +415,15 @@ class DockingPipeline:
         return data, aa_data
 
     # ------------------------------------------------------------------
+    def _fine_hbm_chunk(self, nl: int, nr: int) -> int:
+        """``ladder.fine_hbm_poses`` times the mesh size (the bound is
+        per chip)."""
+        from diffdock_tpu.inference.ladder import fine_hbm_poses
+
+        return fine_hbm_poses(nl, nr) * (
+            self.mesh.size if self.mesh is not None else 1
+        )
+
     def effective_pose_chunk(
         self,
         data: ComplexData,
@@ -439,6 +448,11 @@ class DockingPipeline:
         chunk = batch_size
         if ladder_poses is not None:
             chunk = min(chunk, ladder_poses) if chunk else ladder_poses
+        elif self.bucket_ladder == "fine":
+            nl, nr, _ = bucket_sizes(data.n_lig, data.n_rec, data.n_bonds)
+            cap = self._fine_hbm_chunk(nl, nr)
+            if (chunk or num_poses) > cap:
+                chunk = min(chunk, cap) if chunk else cap
         chunk = min(chunk, num_poses) if chunk else num_poses
         if self.mesh is not None and self.mesh.size > 1:
             # dock_complex rounds the program's pose count up to a
@@ -494,6 +508,16 @@ class DockingPipeline:
                 # the ladder's P is a per-chip HBM bound
                 ladder_poses *= self.mesh.size
             chunk = min(chunk, ladder_poses) if chunk else ladder_poses
+        else:
+            # fine mode: cap poses-in-flight at the HBM-proven bound so a
+            # 40-pose request on a 2000+-residue receptor chunks instead
+            # of OOMing — using the same P ladder as ``ladder.fine_plan``,
+            # so warmed services execute exactly the programs
+            # ``prewarm --fine`` compiled. No-op when the full request
+            # already fits (every pre-existing small-complex behavior).
+            cap = self._fine_hbm_chunk(nl, nr)
+            if (chunk or num_poses) > cap:
+                chunk = min(chunk, cap) if chunk else cap
         if chunk is not None and chunk < num_poses:
             n_chunks = -(-num_poses // chunk)
             results = [
@@ -699,6 +723,13 @@ class DockingPipeline:
                     # exactly one complex here, so it applies directly
                     chunk = min(chunk, cov[3]) if chunk else cov[3]
                     guard_entry = cov
+            else:
+                # fine mode: per-chip HBM cap (one complex per device)
+                from diffdock_tpu.inference.ladder import fine_hbm_poses
+
+                cap = fine_hbm_poses(nl, nr)
+                if (chunk or num_poses) > cap:
+                    chunk = min(chunk, cap) if chunk else cap
 
             # normalize the data-dependent widths (max bond degree, receptor
             # kNN column count) across chunk members so the trees stack

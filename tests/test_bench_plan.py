@@ -8,10 +8,41 @@ import bench
 from diffdock_tpu.inference.ladder import (
     COVER_LADDER,
     HBM_AREA_BOUND,
+    fine_hbm_poses,
     fine_plan,
     modeled_batch_seconds,
     pdbbind_like_sizes,
 )
+
+
+def test_fine_hbm_poses_is_safe_and_maximal():
+    for nl, nr in [(16, 128), (32, 320), (96, 2304), (128, 3072)]:
+        p = fine_hbm_poses(nl, nr)
+        assert 40 % p == 0
+        assert p == 1 or p * nl * nr <= HBM_AREA_BOUND
+        # maximal: the next-larger ladder entry would exceed the bound
+        larger = [q for q in (40, 20, 10, 8, 5, 4, 2) if q > p]
+        if larger:
+            assert min(larger) * nl * nr > HBM_AREA_BOUND
+    assert fine_hbm_poses(96, 2304) == 8  # the bench-proven flagship point
+
+
+def test_pipeline_fine_chunk_caps_at_hbm_bound():
+    """dock_complex's fine-mode default chunk (and effective_pose_chunk)
+    must cap poses-in-flight at the HBM-proven bound; small complexes are
+    unaffected."""
+    from diffdock_tpu.inference.pipeline import DockingPipeline
+
+    pipe = DockingPipeline.__new__(DockingPipeline)  # logic-only probe
+    pipe.mesh = None
+    assert pipe._fine_hbm_chunk(16, 128) == 40
+    assert pipe._fine_hbm_chunk(96, 2304) == 8
+
+    class FakeMesh:
+        size = 4
+
+    pipe.mesh = FakeMesh()
+    assert pipe._fine_hbm_chunk(96, 2304) == 32  # per-chip bound x mesh
 
 
 def test_fine_plan_covers_every_complex_hbm_safe():

@@ -138,6 +138,7 @@ def test_aa_mask_crop_equals_physical_crop(tables):
     )
 
 
+@pytest.mark.slow  # compile-heavy; a cheaper sibling covers this subsystem in the fast set
 def test_pipeline_crop_beyond_runs(tables):
     """Pipeline with crop_beyond: pre-crop + per-step masking end-to-end."""
     so3, torus = tables

@@ -128,6 +128,7 @@ def test_old_cg_padding_invariance(tables):
     )
 
 
+@pytest.mark.slow  # compile-heavy; a cheaper sibling covers this subsystem in the fast set
 def test_old_cg_lm_embedding_overlap_slicing(tables):
     """With ESM, the old encoder's scalar block overlaps the LM block —
     verify the forward runs and perturbing only lm[:32] changes the output

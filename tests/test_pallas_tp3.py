@@ -52,6 +52,7 @@ def test_gen3_block_rows_invariance():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # compile-heavy; a cheaper sibling covers this subsystem in the fast set
 def test_gen3_gradients_flow():
     """custom_vjp backward (XLA-path gradients) matches direct XLA grads."""
     tp = FullyConnectedTensorProduct(IN_IR, SH_IR, OUT_IR)
