@@ -237,8 +237,10 @@ def _weighted_plan(measured, quarantined):
     re-route to the next covering entry, mirroring the pipeline's
     runtime guard). Unmeasured buckets are cost-model-filled; returns
     (total_s, poses, n_model_filled_complexes, mean_padding)."""
+    from diffdock_tpu.data.complexes import bucket_sizes
     from diffdock_tpu.inference.ladder import (
         cover_bucket,
+        fine_hbm_poses,
         modeled_batch_seconds,
     )
 
@@ -246,7 +248,13 @@ def _weighted_plan(measured, quarantined):
     for nl_c, nr_c in churn_sizes():
         nb_c = max(1, nl_c // 4)
         cov = cover_bucket(nl_c, nr_c, nb_c, exclude=quarantined)
-        assert cov is not None, f"complex ({nl_c},{nr_c}) exceeds ladder"
+        if cov is None:
+            # quarantine emptied the covering chain: the pipeline falls
+            # back to the complex's fine bucket (dock_complex cov=None
+            # path), so model that program instead of crashing the
+            # artifact on its own guard
+            nl, nr, nb = bucket_sizes(nl_c, nr_c, nb_c)
+            cov = (nl, nr, nb, fine_hbm_poses(nl, nr))
         nl, nr, nb, poses = cov
         batches = -(-POSES_PER_COMPLEX // poses)  # ceil
         t = measured.get(cov)
@@ -438,9 +446,13 @@ def main():
             **({"anomaly": True} if r["anomaly"] else {}),
         }
         last_bucket = k == len(order) - 1
+        # stays provisional while later modes (--pocket/--fine_plan) will
+        # still extend the headline line's field set
+        more_modes = args.pocket or args.fine_plan or args.fine
         _emit_headline(
             details, measured, quarantined,
-            partial=not (last_bucket and not skipped_budget),
+            partial=not (last_bucket and not skipped_budget
+                         and not more_modes),
         )
         _write_details(details)
 
@@ -452,7 +464,9 @@ def main():
             + ", ".join(f"{e[0]}x{e[1]}" for e in skipped_budget),
             file=sys.stderr,
         )
-        details["skipped_for_budget"] = [list(e) for e in skipped_budget]
+    # written unconditionally: _write_details merges disk-first, so a
+    # complete run must overwrite a previous budget-cut run's list
+    details["skipped_for_budget"] = [list(e) for e in skipped_budget]
 
     pocket_time = None
     if args.pocket:
@@ -468,10 +482,18 @@ def main():
         for nl, nr, nb, poses in COVER_LADDER:
             if nr <= POCKET_CAPACITY:
                 continue
+            est = 1.2 * float(np.median(compile_hist[-3:])) + (
+                args.reps + 1
+            ) * modeled_batch_seconds(nl, nr, poses)
+            if time.time() - t_start + est > args.budget:
+                print(f"# budget: skipped pocket bucket {nl}x{nr}",
+                      file=sys.stderr)
+                continue
             r = _bench_bucket(
                 ppipe, nl, nr, nb, poses,
                 n_rep=args.reps, anomaly_factor=args.anomaly_factor,
             )
+            compile_hist.append(max(60.0, r["compile_s"]))
             if not r["anomaly"]:
                 pocket_measured[(nl, nr, nb, poses)] = r[
                     "steady_s_per_batch"
@@ -527,13 +549,18 @@ def main():
         fine_measured, fine_anomalies = {}, []
         for entry in f_order:
             nl, nr, nb, poses = entry
-            elapsed = time.time() - t_start
-            if elapsed > args.budget:
+            est = 1.2 * float(np.median(compile_hist[-3:])) + (
+                args.reps + 1
+            ) * modeled_batch_seconds(nl, nr, poses)
+            if time.time() - t_start + est > args.budget:
+                print(f"# budget: stopping fine plan before {nl}x{nr}",
+                      file=sys.stderr)
                 break
             r = _bench_bucket(
                 pipeline, nl, nr, nb, poses,
                 n_rep=args.reps, anomaly_factor=args.anomaly_factor,
             )
+            compile_hist.append(max(60.0, r["compile_s"]))
             if r["anomaly"]:
                 fine_anomalies.append(list(entry))
             else:

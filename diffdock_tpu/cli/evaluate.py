@@ -152,9 +152,12 @@ def get_parser():
 
 def restrict_cpu_threads(threads: int) -> None:
     """Cap host thread pools (reference ``evaluate.py:186-196``). The env
-    vars only affect libraries initialized afterwards; torch (if present)
-    is capped directly, and XLA host threads via --xla_cpu flags are left
-    alone (the TPU path doesn't use them)."""
+    vars only affect libraries initialized afterwards — the
+    ``diffdock-tpu`` dispatcher (cli/main.py) therefore sets them BEFORE
+    importing this module; here they are (re)set best-effort for direct
+    ``python -m`` invocation, torch (if present) is capped directly, and
+    XLA host threads via --xla_cpu flags are left alone (the TPU path
+    doesn't use them)."""
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
                 "MKL_NUM_THREADS", "VECLIB_MAXIMUM_THREADS",
                 "NUMEXPR_NUM_THREADS"):

@@ -42,6 +42,26 @@ def _usage() -> str:
     return "\n".join(lines)
 
 
+def _apply_restrict_cpu(argv) -> None:
+    """--restrict_cpu must cap BLAS/OMP pools BEFORE the subcommand module
+    imports numpy/torch — thread counts are read once at library load
+    (reference evaluate.py:186-196 sets them pre-import). The dispatcher
+    imports nothing heavy itself, so this is the last safe moment."""
+    if "--restrict_cpu" not in argv:
+        return
+    import os
+
+    n = "16"
+    if "--num_cpu" in argv:
+        i = argv.index("--num_cpu")
+        if i + 1 < len(argv):
+            n = argv[i + 1]
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "VECLIB_MAXIMUM_THREADS",
+                "NUMEXPR_NUM_THREADS"):
+        os.environ[var] = n
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -57,6 +77,8 @@ def main(argv=None) -> int:
             print(f"diffdock-tpu: unknown command {cmd!r}\n", file=sys.stderr)
             print(_usage(), file=sys.stderr)
             return 2
+    _apply_restrict_cpu(argv)
+
     import importlib
 
     module = importlib.import_module(_COMMANDS[cmd][0])

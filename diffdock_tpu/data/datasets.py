@@ -186,34 +186,64 @@ class ComplexDataset:
         """Dataset geometry statistics at load time (reference
         ``datasets/pdbbind.py:421-452``): receptor radius, molecule
         radius, ligand-center distance from the receptor frame origin,
-        plus size distributions. Returns the stats dict (also printed)."""
-        rad_p, rad_m, dist_c, n_lig, n_rec = [], [], [], [], []
-        for name in self.names:
-            d = self.get(name)
-            rec = np.asarray(d.rec_pos)[np.asarray(d.rec_mask, bool)]
-            lig = np.asarray(d.lig_pos)[np.asarray(d.lig_mask, bool)]
-            rad_p.append(float(np.linalg.norm(rec, axis=1).max()))
-            center = lig.mean(axis=0)
-            rad_m.append(float(np.linalg.norm(lig - center, axis=1).max()))
-            dist_c.append(float(np.linalg.norm(center)))
-            n_lig.append(d.n_lig)
-            n_rec.append(d.n_rec)
-        stats = {}
+        plus size distributions. Returns the stats dict (also printed).
+
+        The pass re-reads every cached npz, so the computed stats are
+        memoized to ``statistics.json`` in the cache dir (keyed by the
+        name list) — repeat evaluations print from the sidecar instead
+        of doubling dataset I/O."""
+        import hashlib
+        import json
+
+        key = hashlib.sha256(
+            "\n".join(sorted(self.names)).encode()
+        ).hexdigest()[:16]
+        sidecar = self.cache / "statistics.json"
+        stats = None
+        try:
+            with open(sidecar) as f:
+                stored = json.load(f)
+            if stored.get("names_key") == key:
+                stats = stored["stats"]
+        except (FileNotFoundError, ValueError, KeyError):
+            pass
+
+        if stats is None:
+            rad_p, rad_m, dist_c, n_lig, n_rec = [], [], [], [], []
+            for name in self.names:
+                d = self.get(name)
+                rec = np.asarray(d.rec_pos)[np.asarray(d.rec_mask, bool)]
+                lig = np.asarray(d.lig_pos)[np.asarray(d.lig_mask, bool)]
+                rad_p.append(float(np.linalg.norm(rec, axis=1).max()))
+                center = lig.mean(axis=0)
+                rad_m.append(
+                    float(np.linalg.norm(lig - center, axis=1).max())
+                )
+                dist_c.append(float(np.linalg.norm(center)))
+                n_lig.append(d.n_lig)
+                n_rec.append(d.n_rec)
+            stats = {}
+            for label, arr in (
+                ("radius protein", rad_p),
+                ("radius molecule", rad_m),
+                ("distance protein-mol", dist_c),
+                ("ligand atoms", n_lig),
+                ("receptor residues", n_rec),
+            ):
+                a = np.asarray(arr, np.float64)
+                stats[label] = {
+                    "mean": float(a.mean()) if a.size else 0.0,
+                    "std": float(a.std()) if a.size else 0.0,
+                    "max": float(a.max()) if a.size else 0.0,
+                }
+            try:
+                with open(sidecar, "w") as f:
+                    json.dump({"names_key": key, "stats": stats}, f)
+            except OSError:
+                pass
+
         print(f"Number of complexes: {len(self)}")
-        for label, arr in (
-            ("radius protein", rad_p),
-            ("radius molecule", rad_m),
-            ("distance protein-mol", dist_c),
-            ("ligand atoms", n_lig),
-            ("receptor residues", n_rec),
-        ):
-            a = np.asarray(arr, np.float64)
-            stats[label] = {
-                "mean": float(a.mean()) if a.size else 0.0,
-                "std": float(a.std()) if a.size else 0.0,
-                "max": float(a.max()) if a.size else 0.0,
-            }
-            s = stats[label]
+        for label, s in stats.items():
             print(f"{label}: mean {s['mean']:.3f}, std {s['std']:.3f}, "
                   f"max {s['max']:.3f}")
         return stats

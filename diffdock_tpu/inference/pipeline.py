@@ -147,16 +147,18 @@ class DockingPipeline:
         if mesh is not None:
             assert len(mesh.axis_names) == 1, "pose sharding uses a 1-axis mesh"
         self.mesh = mesh
-        env_guard = os.environ.get("DIFFDOCK_TPU_ANOMALY_FACTOR")
-        if env_guard is not None:
-            anomaly_guard = float(env_guard)
-        elif anomaly_guard is None:
-            anomaly_guard = (
-                5.0
-                if bucket_ladder == "cover"
-                and jax.default_backend() == "tpu"
-                else 0.0
-            )
+        if anomaly_guard is None:
+            # explicit arg > env > backend-dependent default
+            env_guard = os.environ.get("DIFFDOCK_TPU_ANOMALY_FACTOR")
+            if env_guard is not None:
+                anomaly_guard = float(env_guard)
+            else:
+                anomaly_guard = (
+                    5.0
+                    if bucket_ladder == "cover"
+                    and jax.default_backend() == "tpu"
+                    else 0.0
+                )
         self.anomaly_guard = float(anomaly_guard)
         self._quarantined: Set[Tuple[int, int, int, int]] = set()
         self._compiled: Dict[Tuple, callable] = {}

@@ -39,18 +39,12 @@ sys.path.insert(0, ".")
 
 
 def bank_rows(rows, key="train_throughput"):
-    """Merge rows into BENCH_DETAILS.json (same artifact bench.py writes)."""
-    details = {}
-    try:
-        with open("BENCH_DETAILS.json") as f:
-            details = json.load(f)
-    except (FileNotFoundError, ValueError):
-        pass
-    details[key] = rows
-    tmp = "BENCH_DETAILS.json.tmp"
-    with open(tmp, "w") as f:
-        json.dump(details, f, indent=2)
-    os.replace(tmp, "BENCH_DETAILS.json")
+    """Merge rows into BENCH_DETAILS.json via bench.py's single
+    read-merge-atomic-write helper (one implementation for the shared
+    artifact)."""
+    import bench
+
+    bench._write_details({key: rows})
 
 
 def run_dp_virtual(n_devices, reps):

@@ -231,12 +231,22 @@ for fold_i, held in enumerate(fold_names):
           f"frac<5 {(pk_rmsds < 5).mean():.2f}", flush=True)
 
     # ---- confidence: train on TRAIN-complex poses, rank HELD-OUT poses
-    bank = {n: dock_and_rmsd(pipe, n, TRAIN_POSE_SETS, seed0=101)
-            for n in train_names}
+    bank0 = {n: dock_and_rmsd(pipe, n, TRAIN_POSE_SETS, seed0=101)
+             for n in train_names}
     # divergence filter (as in validate_multicomplex): overfit small
     # models can run away on OOD positions; not a ranking regime
-    bank = {n: (p[r < 100.0], r[r < 100.0]) for n, (p, r) in bank.items()}
+    bank = {n: (p[r < 100.0], r[r < 100.0]) for n, (p, r) in bank0.items()}
+    # a fully-diverged member would leave an empty pose bank (randint(0)
+    # crash after the expensive score training) — keep its best pose so
+    # the sampling below stays well-defined
+    bank = {
+        n: (p, r) if len(r)
+        else (p0[[int(np.argmin(r0))]], r0[[int(np.argmin(r0))]])
+        for (n, (p, r)), (p0, r0) in zip(bank.items(), bank0.values())
+    }
     keep_held = held_rmsds < 100.0
+    if not keep_held.any():
+        keep_held = np.ones_like(keep_held)  # rank all rather than crash
     train_rmsds_flat = np.concatenate([bank[n][1] for n in train_names])
     cutoff = 2.0
     frac_pos = float((train_rmsds_flat < cutoff).mean())

@@ -106,6 +106,47 @@ def test_weighted_plan_quarantine_reroutes_and_costs_more():
     assert t0 < t1 < 1.25 * t0
 
 
+def test_weighted_plan_survives_total_quarantine():
+    """Quarantining EVERY cover entry must not crash the artifact: the
+    plan falls back to each complex's fine bucket (the pipeline's own
+    cov=None behavior)."""
+    t, poses, filled, pad = bench._weighted_plan({}, set(COVER_LADDER))
+    assert poses == 150 * 40
+    assert filled == 150
+    assert t > 0 and pad >= 1.0
+    # the fine-bucket fallback pads less than the cover plan
+    _, _, _, cover_pad = bench._weighted_plan({}, set())
+    assert pad < cover_pad
+
+
+def test_anomaly_env_does_not_override_explicit_arg(monkeypatch):
+    """Explicit anomaly_guard arg > DIFFDOCK_TPU_ANOMALY_FACTOR env >
+    backend default (construction compiles nothing, so this is cheap)."""
+    from diffdock_tpu.diffusion.so3 import SO3Config, get_so3_tables
+    from diffdock_tpu.diffusion.torus import TorusConfig, get_torus_tables
+    from diffdock_tpu.inference.pipeline import DockingPipeline
+    from diffdock_tpu.inference.sampler import SamplerConfig
+    from diffdock_tpu.models.config import ScoreModelConfig
+
+    so3 = get_so3_tables(SO3Config(n_eps=64, x_n=256, l_max=512))
+    torus = get_torus_tables(TorusConfig(x_n=256, sigma_n=128,
+                                         mc_samples=2000))
+    cfg = ScoreModelConfig(ns=8, nv=2, num_conv_layers=1,
+                           num_prot_emb_layers=0)
+    kw = dict(so3_tables=so3, torus_tables=torus)
+    sampler = SamplerConfig(inference_steps=2, actual_steps=2)
+
+    monkeypatch.setenv("DIFFDOCK_TPU_ANOMALY_FACTOR", "7.5")
+    assert DockingPipeline(cfg, {}, sampler, anomaly_guard=3.0,
+                           **kw).anomaly_guard == 3.0
+    assert DockingPipeline(cfg, {}, sampler, anomaly_guard=0.0,
+                           **kw).anomaly_guard == 0.0  # explicit disable
+    assert DockingPipeline(cfg, {}, sampler, **kw).anomaly_guard == 7.5
+    monkeypatch.delenv("DIFFDOCK_TPU_ANOMALY_FACTOR")
+    # backend default: 0.0 on CPU (the cost model is chip-specific)
+    assert DockingPipeline(cfg, {}, sampler, **kw).anomaly_guard == 0.0
+
+
 def test_emit_headline_partial_line(capsys):
     details = {}
     measured = {COVER_LADDER[0]: 1.0}

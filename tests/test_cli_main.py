@@ -60,3 +60,21 @@ def test_prewarm_with_confidence_model():
 test_prewarm_with_confidence_model = __import__("pytest").mark.slow(
     test_prewarm_with_confidence_model
 )
+
+
+def test_restrict_cpu_caps_pools_before_import(monkeypatch):
+    """The dispatcher must export the thread caps before the heavy
+    subcommand module imports numpy/torch (reference evaluate.py:186-196
+    sets them pre-import)."""
+    import os
+
+    from diffdock_tpu.cli.main import _apply_restrict_cpu
+
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS"):
+        monkeypatch.delenv(var, raising=False)
+    _apply_restrict_cpu(["evaluate", "--restrict_cpu", "--num_cpu", "3"])
+    assert os.environ["OMP_NUM_THREADS"] == "3"
+    assert os.environ["OPENBLAS_NUM_THREADS"] == "3"
+    monkeypatch.delenv("OMP_NUM_THREADS")
+    _apply_restrict_cpu(["evaluate"])  # no flag -> no exports
+    assert "OMP_NUM_THREADS" not in os.environ

@@ -34,6 +34,11 @@ def test_print_statistics(tmp_path, capsys):
     # 6w70 sanity: receptor bigger than ligand, ligand near the pocket
     assert stats["radius protein"]["mean"] > stats["radius molecule"]["mean"]
     assert np.isfinite(stats["distance protein-mol"]["mean"])
+    # memoized to a sidecar: a second call must not re-read the dataset
+    assert (ds.cache / "statistics.json").exists()
+    ds.get = None  # any re-read would now raise
+    stats2 = ds.print_statistics()
+    assert stats2 == stats
 
 
 def test_restrict_cpu_threads(monkeypatch):
