@@ -231,6 +231,27 @@ def _bench_bucket(pipeline, nl, nr, nb, poses, n_rep=2, anomaly_factor=None):
     }
 
 
+def _bench_bucket_safe(pipeline, nl, nr, nb, poses, **kw):
+    """_bench_bucket, but a bucket that fails to compile or execute (e.g.
+    an HBM OOM through the remote-compile tunnel) is recorded instead of
+    killing the artifact run: returns the result dict with an "error" key
+    and anomaly=True so callers quarantine/skip it."""
+    try:
+        return _bench_bucket(pipeline, nl, nr, nb, poses, **kw)
+    except Exception as e:  # noqa: BLE001 — un-failable artifact
+        msg = f"{type(e).__name__}: {e}"
+        print(f"# bucket {nl}x{nr} P={poses} FAILED: {msg[:300]}",
+              file=sys.stderr)
+        return {
+            "poses_per_sec": 0.0,
+            "steady_s_per_batch": 0.0,
+            "compile_s": 0.0,
+            "anomaly": True,
+            "model_s_per_batch": 1.0,
+            "error": msg[:500],
+        }
+
+
 def _weighted_plan(measured, quarantined):
     """Wall-clock of the 150-complex x 40-pose plan through the cover
     ladder with ``quarantined`` entries excluded (their complexes
@@ -340,12 +361,20 @@ def _emit_headline(details, measured, quarantined, partial, pocket_time=None,
     return weighted
 
 
-def _write_details(details):
+def _write_details(details, drop_prefixes=()):
     # merge-preserve rows measured by other modes (--pocket / --fine /
-    # scripts/bench_train.py write into the same artifact)
+    # scripts/bench_train.py write into the same artifact);
+    # ``drop_prefixes`` clears stale disk rows whose keys this run will
+    # not rewrite (fineplan_* keys embed P, which can change with the
+    # HBM bounds)
     try:
         with open("BENCH_DETAILS.json") as f:
-            details = {**json.load(f), **details}
+            disk = json.load(f)
+        disk = {
+            k: v for k, v in disk.items()
+            if not any(k.startswith(p) for p in drop_prefixes)
+        }
+        details = {**disk, **details}
     except (FileNotFoundError, ValueError):
         pass
     tmp = "BENCH_DETAILS.json.tmp"
@@ -417,11 +446,12 @@ def main():
         if k > 0 and elapsed + est_bucket > args.budget:
             skipped_budget.append(entry)
             continue
-        r = _bench_bucket(
+        r = _bench_bucket_safe(
             pipeline, nl, nr, nb, poses,
             n_rep=args.reps, anomaly_factor=args.anomaly_factor,
         )
-        compile_hist.append(max(60.0, r["compile_s"]))
+        if "error" not in r:
+            compile_hist.append(max(60.0, r["compile_s"]))
         tag = ""
         if r["anomaly"]:
             quarantined.add(entry)
@@ -444,6 +474,7 @@ def main():
             "poses_per_sec": round(r["poses_per_sec"], 3),
             "churn_weight_s": round(weights[entry], 1),
             **({"anomaly": True} if r["anomaly"] else {}),
+            **({"error": r["error"]} if "error" in r else {}),
         }
         last_bucket = k == len(order) - 1
         # stays provisional while later modes (--pocket/--fine_plan) will
@@ -489,11 +520,12 @@ def main():
                 print(f"# budget: skipped pocket bucket {nl}x{nr}",
                       file=sys.stderr)
                 continue
-            r = _bench_bucket(
+            r = _bench_bucket_safe(
                 ppipe, nl, nr, nb, poses,
                 n_rep=args.reps, anomaly_factor=args.anomaly_factor,
             )
-            compile_hist.append(max(60.0, r["compile_s"]))
+            if "error" not in r:
+                compile_hist.append(max(60.0, r["compile_s"]))
             if not r["anomaly"]:
                 pocket_measured[(nl, nr, nb, poses)] = r[
                     "steady_s_per_batch"
@@ -515,6 +547,7 @@ def main():
                 "steady_s_per_batch": round(r["steady_s_per_batch"], 3),
                 "poses_per_sec": round(r["poses_per_sec"], 3),
                 **({"anomaly": True} if r["anomaly"] else {}),
+                **({"error": r["error"]} if "error" in r else {}),
             }
         pocket_time, total_poses, p_filled, _ = _weighted_plan(
             pocket_measured, quarantined
@@ -547,6 +580,9 @@ def main():
             * modeled_batch_seconds(e[0], e[1], e[3]),
         )
         fine_measured, fine_anomalies = {}, []
+        # clear any stale fineplan_* rows (their keys embed P, which can
+        # change when the HBM bounds are recalibrated)
+        details = _write_details(details, drop_prefixes=("fineplan_",))
         for entry in f_order:
             nl, nr, nb, poses = entry
             est = 1.2 * float(np.median(compile_hist[-3:])) + (
@@ -556,11 +592,12 @@ def main():
                 print(f"# budget: stopping fine plan before {nl}x{nr}",
                       file=sys.stderr)
                 break
-            r = _bench_bucket(
+            r = _bench_bucket_safe(
                 pipeline, nl, nr, nb, poses,
                 n_rep=args.reps, anomaly_factor=args.anomaly_factor,
             )
-            compile_hist.append(max(60.0, r["compile_s"]))
+            if "error" not in r:
+                compile_hist.append(max(60.0, r["compile_s"]))
             if r["anomaly"]:
                 fine_anomalies.append(list(entry))
             else:
@@ -580,6 +617,7 @@ def main():
                 "steady_s_per_batch": round(r["steady_s_per_batch"], 3),
                 "poses_per_sec": round(r["poses_per_sec"], 3),
                 **({"anomaly": True} if r["anomaly"] else {}),
+                **({"error": r["error"]} if "error" in r else {}),
             }
             # incremental weighted_fine (model fill for unmeasured tail)
             f_time, f_filled, f_pad = 0.0, 0, []

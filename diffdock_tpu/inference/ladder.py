@@ -79,9 +79,18 @@ def modeled_batch_seconds(nl: int, nr: int, poses: int) -> float:
     return poses * (COST_PER_AREA_S * nl * nr + COST_BASE_S)
 
 
-# HBM-proven in-flight bound: 8 poses x 96 lig x 2304 res of DiffDock-L
-# activations fit one v5e chip (bench-proven, PERF.md)
+# HBM-proven in-flight bounds, both anchored at the bench-proven flagship
+# point (8 poses x 96 lig x 2304 res of DiffDock-L fits one v5e chip,
+# PERF.md). Two constraints because the two biggest activation families
+# scale differently:
+# - cross-block (ligand x receptor) terms scale with P*NL*NR;
+# - receptor-side neighbor blocks scale with P*NR *independent of NL*
+#   (a 13.4G bf16[P, NR, K, F] allocation OOMed the P=40 small-
+#   ligand/2304-res program at P*NR=92160: 15.80G of 15.75G HBM, while
+#   every cover entry up to P*NR=46080 — 32x2304 at P=20 — measures
+#   clean on chip; the bound is that proven point).
 HBM_AREA_BOUND = 8 * 96 * 2304
+HBM_POSE_NR_BOUND = 20 * 2304
 
 
 def pdbbind_like_sizes(n: int = 150, seed: int = 7):
@@ -108,7 +117,8 @@ def fine_hbm_poses(nl: int, nr: int) -> int:
     ``prewarm --fine`` compiled."""
     return next(
         p for p in (40, 20, 10, 8, 5, 4, 2, 1)
-        if p * nl * nr <= HBM_AREA_BOUND or p == 1
+        if (p * nl * nr <= HBM_AREA_BOUND
+            and p * nr <= HBM_POSE_NR_BOUND) or p == 1
     )
 
 

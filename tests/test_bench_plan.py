@@ -16,15 +16,25 @@ from diffdock_tpu.inference.ladder import (
 
 
 def test_fine_hbm_poses_is_safe_and_maximal():
-    for nl, nr in [(16, 128), (32, 320), (96, 2304), (128, 3072)]:
+    from diffdock_tpu.inference.ladder import HBM_POSE_NR_BOUND
+
+    def safe(p, nl, nr):
+        return (p * nl * nr <= HBM_AREA_BOUND
+                and p * nr <= HBM_POSE_NR_BOUND)
+
+    for nl, nr in [(16, 128), (32, 320), (96, 2304), (128, 3072),
+                   (16, 2304), (24, 1536), (48, 1024)]:
         p = fine_hbm_poses(nl, nr)
         assert 40 % p == 0
-        assert p == 1 or p * nl * nr <= HBM_AREA_BOUND
-        # maximal: the next-larger ladder entry would exceed the bound
+        assert p == 1 or safe(p, nl, nr)
+        # maximal: the next-larger ladder entry would exceed a bound
         larger = [q for q in (40, 20, 10, 8, 5, 4, 2) if q > p]
         if larger:
-            assert min(larger) * nl * nr > HBM_AREA_BOUND
+            assert not safe(min(larger), nl, nr)
     assert fine_hbm_poses(96, 2304) == 8  # the bench-proven flagship point
+    # the on-chip OOM regression: P=40 at NR=2304 exceeded HBM; the
+    # receptor-side bound caps it at the chip-proven P*NR point
+    assert fine_hbm_poses(16, 2304) == 20
 
 
 def test_pipeline_fine_chunk_caps_at_hbm_bound():
@@ -49,8 +59,11 @@ def test_fine_plan_covers_every_complex_hbm_safe():
     sizes = pdbbind_like_sizes()
     plan = fine_plan(sizes)
     assert sum(len(m) for m in plan.values()) == len(sizes)
+    from diffdock_tpu.inference.ladder import HBM_POSE_NR_BOUND
+
     for (nl, nr, nb, poses), members in plan.items():
         assert poses * nl * nr <= HBM_AREA_BOUND
+        assert poses * nr <= HBM_POSE_NR_BOUND
         assert 40 % poses == 0  # whole batches for the 40-pose recipe
         for nl_c, nr_c in members:
             assert nl_c <= nl and nr_c <= nr
@@ -168,3 +181,20 @@ def test_emit_headline_partial_line(capsys):
     assert line["partial"] is False
     assert line["best_bucket_poses_per_sec"] == 20.0
     assert line["model_filled_complexes"] == 0
+
+
+def test_bench_bucket_safe_records_failure(monkeypatch):
+    """A bucket that raises (e.g. HBM OOM through the remote-compile
+    tunnel) must come back as a JSON-safe quarantined row, not kill the
+    artifact run."""
+    import json as _json
+
+    def boom(*a, **k):
+        raise RuntimeError("XLA:TPU compile permanent error. Ran out of "
+                           "memory in memory space hbm.")
+
+    monkeypatch.setattr(bench, "_bench_bucket", boom)
+    r = bench._bench_bucket_safe(None, 16, 2304, 8, 40)
+    assert r["anomaly"] is True
+    assert "hbm" in r["error"]
+    _json.dumps(r)  # JSON-safe (no inf/nan sentinels)
