@@ -450,7 +450,9 @@ class DockingPipeline:
         chunk = batch_size
         if ladder_poses is not None:
             chunk = min(chunk, ladder_poses) if chunk else ladder_poses
-        elif self.bucket_ladder == "fine":
+        else:
+            # fine mode, or an oversize complex falling back to the fine
+            # ladder from cover mode: same HBM cap as dock_complex
             nl, nr, _ = bucket_sizes(data.n_lig, data.n_rec, data.n_bonds)
             cap = self._fine_hbm_chunk(nl, nr)
             if (chunk or num_poses) > cap:
