@@ -252,12 +252,16 @@ def _bench_bucket_safe(pipeline, nl, nr, nb, poses, **kw):
         }
 
 
-def _weighted_plan(measured, quarantined):
+def _weighted_plan(measured, quarantined, banked=None):
     """Wall-clock of the 150-complex x 40-pose plan through the cover
     ladder with ``quarantined`` entries excluded (their complexes
     re-route to the next covering entry, mirroring the pipeline's
-    runtime guard). Unmeasured buckets are cost-model-filled; returns
-    (total_s, poses, n_model_filled_complexes, mean_padding)."""
+    runtime guard). Buckets this run did not measure fall back to
+    ``banked`` (per-bucket steady times banked in BENCH_DETAILS.json by
+    an earlier complete run — real chip measurements, so a budget-cut
+    run degrades gracefully instead of reverting to the cost model),
+    then to the cost model. Returns (total_s, poses,
+    n_model_filled_complexes, mean_padding, n_banked_filled_complexes)."""
     from diffdock_tpu.data.complexes import bucket_sizes
     from diffdock_tpu.inference.ladder import (
         cover_bucket,
@@ -265,7 +269,9 @@ def _weighted_plan(measured, quarantined):
         modeled_batch_seconds,
     )
 
-    total_time, total_poses, filled, pad_area = 0.0, 0, 0, []
+    total_time, total_poses, filled, banked_filled, pad_area = (
+        0.0, 0, 0, 0, []
+    )
     for nl_c, nr_c in churn_sizes():
         nb_c = max(1, nl_c // 4)
         cov = cover_bucket(nl_c, nr_c, nb_c, exclude=quarantined)
@@ -279,13 +285,18 @@ def _weighted_plan(measured, quarantined):
         nl, nr, nb, poses = cov
         batches = -(-POSES_PER_COMPLEX // poses)  # ceil
         t = measured.get(cov)
+        if t is None and banked:
+            t = banked.get(cov)
+            if t is not None:
+                banked_filled += 1
         if t is None:
             t = modeled_batch_seconds(nl, nr, poses)
             filled += 1
         total_time += batches * t
         total_poses += POSES_PER_COMPLEX
         pad_area.append((nl * nr) / (nl_c * nr_c))
-    return total_time, total_poses, filled, float(np.mean(pad_area))
+    return (total_time, total_poses, filled, float(np.mean(pad_area)),
+            banked_filled)
 
 
 def fine_plan():
@@ -313,12 +324,38 @@ def _churn_weight_order():
     return sorted(COVER_LADDER, key=lambda e: -weight[e]), weight
 
 
+def _banked_steady(steps):
+    """Per-bucket steady times banked in BENCH_DETAILS.json by earlier
+    runs (clean cover_* rows at the same step count). Lets a budget-cut
+    run fill its unmeasured tail with real chip numbers instead of the
+    cost model — the artifact degrades gracefully under the driver's
+    wall clock instead of reverting to modeled fills."""
+    try:
+        with open("BENCH_DETAILS.json") as f:
+            disk = json.load(f)
+    except (FileNotFoundError, ValueError):
+        return {}
+    banked = {}
+    for k, row in disk.items():
+        if not (k.startswith("cover_") and isinstance(row, dict)):
+            continue
+        if row.get("error") or row.get("anomaly"):
+            continue
+        if row.get("steps") != steps or not row.get("steady_s_per_batch"):
+            continue
+        b = row["bucket"]
+        banked[(b["nl"], b["nr"], b["nb"], row["poses_in_flight"])] = row[
+            "steady_s_per_batch"
+        ]
+    return banked
+
+
 def _emit_headline(details, measured, quarantined, partial, pocket_time=None,
-                   fine_pps=None):
+                   fine_pps=None, banked=None):
     """Recompute the weighted plan, update ``details``, and print a
     headline JSON line to stdout (provisional while ``partial``)."""
-    total_time, total_poses, filled, mean_pad = _weighted_plan(
-        measured, quarantined
+    total_time, total_poses, filled, mean_pad, banked_filled = (
+        _weighted_plan(measured, quarantined, banked)
     )
     weighted = total_poses / total_time
     details["weighted"] = {
@@ -328,6 +365,7 @@ def _emit_headline(details, measured, quarantined, partial, pocket_time=None,
         "poses_per_sec": round(weighted, 3),
         "measured_buckets": len(measured),
         "model_filled_complexes": filled,
+        "banked_filled_complexes": banked_filled,
         "quarantined": [list(e) for e in sorted(quarantined)],
         "mean_cover_padding": round(mean_pad, 3),
         "partial": partial,
@@ -340,13 +378,22 @@ def _emit_headline(details, measured, quarantined, partial, pocket_time=None,
         "partial": partial,
         "measured_buckets": len(measured),
         "model_filled_complexes": filled,
+        "banked_filled_complexes": banked_filled,
     }
-    if "cover_32x320" in details:
-        best = details["cover_32x320"]["poses_per_sec"]
+    try:
+        with open("BENCH_DETAILS.json") as f:
+            disk = json.load(f)
+    except (FileNotFoundError, ValueError):
+        disk = {}
+    best_row = details.get("cover_32x320") or disk.get("cover_32x320")
+    if best_row and not (best_row.get("error") or best_row.get("anomaly")):
+        best = best_row["poses_per_sec"]
         line["best_bucket_poses_per_sec"] = best
         line["best_bucket_vs_baseline"] = round(
             best / A100_BASELINE_POSES_PER_SEC, 3
         )
+        if "cover_32x320" not in details:
+            line["best_bucket_banked"] = True
     if quarantined:
         line["quarantined_buckets"] = len(quarantined)
     if pocket_time is not None:
@@ -357,6 +404,19 @@ def _emit_headline(details, measured, quarantined, partial, pocket_time=None,
         line["weighted_fine_vs_baseline"] = round(
             fine_pps / A100_BASELINE_POSES_PER_SEC, 3
         )
+    else:
+        # a default (cover-only) run still surfaces the warmed-service
+        # fine-plan headline banked by an earlier `--fine_plan` run —
+        # clearly tagged as banked, with full provenance in
+        # BENCH_DETAILS.json's weighted_fine row
+        fine_row = disk.get("weighted_fine")
+        if fine_row and fine_row.get("poses_per_sec"):
+            line["weighted_fine_poses_per_sec_banked"] = fine_row[
+                "poses_per_sec"
+            ]
+            line["weighted_fine_vs_baseline_banked"] = round(
+                fine_row["poses_per_sec"] / A100_BASELINE_POSES_PER_SEC, 3
+            )
     print(json.dumps(line), flush=True)
     return weighted
 
@@ -430,6 +490,10 @@ def main():
     pipeline = _make_pipeline(args.steps)
 
     order, weights = _churn_weight_order()
+    banked = _banked_steady(args.steps)
+    if banked:
+        print(f"# banked fill available for {len(banked)} buckets "
+              f"(earlier runs' BENCH_DETAILS.json)", file=sys.stderr)
     measured, quarantined, skipped_budget = {}, set(), []
     # compile-time estimate for the budget gate: median of recent observed
     # compiles (adaptive — the first program of a fresh process pays
@@ -484,6 +548,7 @@ def main():
             details, measured, quarantined,
             partial=not (last_bucket and not skipped_budget
                          and not more_modes),
+            banked=banked,
         )
         _write_details(details)
 
@@ -491,7 +556,7 @@ def main():
         print(
             f"# budget {args.budget:.0f}s: skipped "
             f"{len(skipped_budget)} low-weight buckets "
-            f"(cost-model-filled): "
+            f"({'bank' if banked else 'cost-model'}-filled): "
             + ", ".join(f"{e[0]}x{e[1]}" for e in skipped_budget),
             file=sys.stderr,
         )
@@ -549,8 +614,8 @@ def main():
                 **({"anomaly": True} if r["anomaly"] else {}),
                 **({"error": r["error"]} if "error" in r else {}),
             }
-        pocket_time, total_poses, p_filled, _ = _weighted_plan(
-            pocket_measured, quarantined
+        pocket_time, total_poses, p_filled, _, _ = _weighted_plan(
+            pocket_measured, quarantined, banked
         )
         w_pocket = total_poses / pocket_time
         details["weighted_pocket"] = {
@@ -664,7 +729,8 @@ def main():
         for name, nl, nr, nb, poses in (
             ("medium_fine", 64, 1024, 16, 16), ("large_fine", 96, 2304, 32, 8)
         ):
-            r = _bench_bucket(pipeline, nl, nr, nb, poses, n_rep=args.reps)
+            r = _bench_bucket_safe(pipeline, nl, nr, nb, poses,
+                                   n_rep=args.reps)
             print(
                 f"# {name} nl={nl} nr={nr} P={poses}: "
                 f"{r['poses_per_sec']:.2f} poses/s", file=sys.stderr,
@@ -685,6 +751,7 @@ def main():
             details["weighted_fine"]["poses_per_sec"]
             if args.fine_plan and "weighted_fine" in details else None
         ),
+        banked=banked,
     )
     _write_details(details)
     print("# wrote BENCH_DETAILS.json", file=sys.stderr)

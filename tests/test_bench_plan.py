@@ -94,7 +94,7 @@ def test_weight_order_covers_ladder_and_descends():
 
 def test_weighted_plan_model_fill_and_measured_agree():
     # with NO measurements the plan is fully model-filled ...
-    t_model, poses, filled, pad = bench._weighted_plan({}, set())
+    t_model, poses, filled, pad, _ = bench._weighted_plan({}, set())
     assert poses == 150 * 40
     assert filled == 150
     assert pad > 1.0
@@ -103,18 +103,39 @@ def test_weighted_plan_model_fill_and_measured_agree():
     measured = {
         e: modeled_batch_seconds(e[0], e[1], e[3]) for e in COVER_LADDER
     }
-    t_meas, _, filled2, _ = bench._weighted_plan(measured, set())
+    t_meas, _, filled2, _, _ = bench._weighted_plan(measured, set())
     assert filled2 == 0
     assert abs(t_meas - t_model) < 1e-9
+
+
+def test_weighted_plan_banked_fill_beats_model_fill():
+    """Buckets a budget-cut run did not measure fall back to banked
+    per-bucket steady times (earlier runs' BENCH_DETAILS.json) before
+    the cost model — and the banked/model fill counts report it."""
+    banked = {
+        e: modeled_batch_seconds(e[0], e[1], e[3]) for e in COVER_LADDER
+    }
+    t_b, poses, filled, _, banked_filled = bench._weighted_plan(
+        {}, set(), banked
+    )
+    assert filled == 0 and banked_filled == 150
+    # live measurement wins over banked
+    live_entry = COVER_LADDER[0]
+    measured = {live_entry: 0.5 * banked[live_entry]}
+    t_m, _, _, _, bf2 = bench._weighted_plan(measured, set(), banked)
+    assert t_m < t_b and bf2 < 150
+    # a quarantined entry is never filled from the bank
+    t_q, _, _, _, _ = bench._weighted_plan({}, {live_entry}, banked)
+    assert t_q > t_b
 
 
 def test_weighted_plan_quarantine_reroutes_and_costs_more():
     measured = {
         e: modeled_batch_seconds(e[0], e[1], e[3]) for e in COVER_LADDER
     }
-    t0, _, _, _ = bench._weighted_plan(measured, set())
+    t0, _, _, _, _ = bench._weighted_plan(measured, set())
     bad = (16, 704, 16, 40)  # the round-3 driver anomaly bucket
-    t1, _, _, _ = bench._weighted_plan(measured, {bad})
+    t1, _, _, _, _ = bench._weighted_plan(measured, {bad})
     # re-routing to the next covering entry is slower but bounded
     assert t0 < t1 < 1.25 * t0
 
@@ -123,12 +144,12 @@ def test_weighted_plan_survives_total_quarantine():
     """Quarantining EVERY cover entry must not crash the artifact: the
     plan falls back to each complex's fine bucket (the pipeline's own
     cov=None behavior)."""
-    t, poses, filled, pad = bench._weighted_plan({}, set(COVER_LADDER))
+    t, poses, filled, pad, _ = bench._weighted_plan({}, set(COVER_LADDER))
     assert poses == 150 * 40
     assert filled == 150
     assert t > 0 and pad >= 1.0
     # the fine-bucket fallback pads less than the cover plan
-    _, _, _, cover_pad = bench._weighted_plan({}, set())
+    _, _, _, cover_pad, _ = bench._weighted_plan({}, set())
     assert pad < cover_pad
 
 
