@@ -150,7 +150,7 @@ def _enable_cache_logging():
     logger.propagate = False
 
 
-def _make_pipeline(steps=STEPS, pocket=False):
+def _make_pipeline(steps=STEPS, pocket=False, dense=False):
     import jax
     import jax.numpy as jnp
 
@@ -185,7 +185,8 @@ def _make_pipeline(steps=STEPS, pocket=False):
     return DockingPipeline(
         cfg, params,
         SamplerConfig(inference_steps=steps, actual_steps=steps),
-        so3_tables=so3, torus_tables=torus, **kw,
+        so3_tables=so3, torus_tables=torus,
+        bucket_ladder="fine_dense" if dense else "fine", **kw,
     )
 
 
@@ -202,7 +203,12 @@ def _bench_bucket(pipeline, nl, nr, nb, poses, n_rep=2, anomaly_factor=None):
     data = synthetic_complex(
         rng, n_lig=nl, n_rec=nr, n_bonds=nb, lm_dim=1280
     )
-    assert bucket_sizes(data.n_lig, data.n_rec, data.n_bonds) == (nl, nr, nb)
+    # the synthetic sizes must BE the pipeline's bucket for (nl, nr, nb)
+    # so the measured program is exactly the requested one
+    assert bucket_sizes(
+        data.n_lig, data.n_rec, data.n_bonds,
+        dense=getattr(pipeline, "_dense", False),
+    ) == (nl, nr, nb)
 
     t0 = time.time()
     pipeline.dock_complex(data, num_poses=poses, seed=0)
@@ -299,12 +305,12 @@ def _weighted_plan(measured, quarantined, banked=None):
             banked_filled)
 
 
-def fine_plan():
+def fine_plan(dense=False):
     """Warmed-service plan for the churn mix (see
     ``inference/ladder.fine_plan``)."""
     from diffdock_tpu.inference.ladder import fine_plan as _fp
 
-    return _fp(churn_sizes())
+    return _fp(churn_sizes(), dense=dense)
 
 
 def _churn_weight_order():
@@ -342,6 +348,31 @@ def _banked_steady(steps):
         if row.get("error") or row.get("anomaly"):
             continue
         if row.get("steps") != steps or not row.get("steady_s_per_batch"):
+            continue
+        b = row["bucket"]
+        banked[(b["nl"], b["nr"], b["nb"], row["poses_in_flight"])] = row[
+            "steady_s_per_batch"
+        ]
+    return banked
+
+
+def _banked_fineplan():
+    """(nl, nr, nb, P) -> steady s/batch from clean fineplan_* rows banked
+    in BENCH_DETAILS.json by earlier runs (content-matched on the stored
+    bucket + P, independent of key format or which grid's plan measured
+    them — the compiled program is identical either way)."""
+    try:
+        with open("BENCH_DETAILS.json") as f:
+            disk = json.load(f)
+    except (FileNotFoundError, ValueError):
+        return {}
+    banked = {}
+    for k, row in disk.items():
+        if not (k.startswith("fineplan_") and isinstance(row, dict)):
+            continue
+        if row.get("error") or row.get("anomaly"):
+            continue
+        if not row.get("steady_s_per_batch"):
             continue
         b = row["bucket"]
         banked[(b["nl"], b["nr"], b["nb"], row["poses_in_flight"])] = row[
@@ -407,10 +438,12 @@ def _emit_headline(details, measured, quarantined, partial, pocket_time=None,
     else:
         # a default (cover-only) run still surfaces the warmed-service
         # fine-plan headline banked by an earlier `--fine_plan` run —
-        # clearly tagged as banked, with full provenance in
-        # BENCH_DETAILS.json's weighted_fine row
-        fine_row = disk.get("weighted_fine")
-        if fine_row and fine_row.get("poses_per_sec"):
+        # the best of the banked grids, clearly tagged as banked, with
+        # full provenance in BENCH_DETAILS.json
+        rows = [disk.get("weighted_fine"), disk.get("weighted_fine_dense")]
+        rows = [r for r in rows if r and r.get("poses_per_sec")]
+        fine_row = max(rows, key=lambda r: r["poses_per_sec"], default=None)
+        if fine_row:
             line["weighted_fine_poses_per_sec_banked"] = fine_row[
                 "poses_per_sec"
             ]
@@ -458,6 +491,18 @@ def main():
                     help="also measure the warmed-service fine-ladder "
                          "plan (~38 minimal-padding programs) and report "
                          "weighted_fine (see module docstring)")
+    ap.add_argument("--bank_cover", action="store_true",
+                    help="skip live cover-bucket measurement and serve the "
+                         "cover headline from banked rows (headline stays "
+                         "partial) — for --fine_plan banking runs that "
+                         "should spend their whole budget on fine programs")
+    ap.add_argument("--fine_grid", choices=("default", "dense"),
+                    default="default",
+                    help="with --fine_plan: which fine grid to plan on — "
+                         "'dense' uses the ~1.2x-spaced rungs (~85 "
+                         "programs, x1.29 mean padding; "
+                         "bucket_ladder='fine_dense') and banks "
+                         "weighted_fine_dense")
     ap.add_argument("--steps", type=int, default=STEPS)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--budget", type=float,
@@ -501,6 +546,12 @@ def main():
     # max-ever estimate would starve the gate after one big cold compile).
     # The first bucket is always measured.
     compile_hist = [120.0]
+    if args.bank_cover and banked:
+        print(f"# --bank_cover: cover headline served from "
+              f"{len(banked)} banked buckets", file=sys.stderr)
+        _emit_headline(details, measured, quarantined, partial=True,
+                       banked=banked)
+        order = []
     for k, entry in enumerate(order):
         nl, nr, nb, poses = entry
         model_s = modeled_batch_seconds(nl, nr, poses)
@@ -637,54 +688,33 @@ def main():
         # warmed-service plan: minimal-padding fine buckets, measured in
         # descending plan-weight order with incremental banking so a cut
         # run still lands a mostly-measured number
-        plan = fine_plan()
+        dense = args.fine_grid == "dense"
+        plan = fine_plan(dense=dense)
+        fpipe = _make_pipeline(args.steps, dense=True) if dense else pipeline
         f_order = sorted(
             plan,
             key=lambda e: -len(plan[e])
             * -(-POSES_PER_COMPLEX // e[3])
             * modeled_batch_seconds(e[0], e[1], e[3]),
         )
-        fine_measured, fine_anomalies = {}, []
-        # clear any stale fineplan_* rows (their keys embed P, which can
-        # change when the HBM bounds are recalibrated)
-        details = _write_details(details, drop_prefixes=("fineplan_",))
-        for entry in f_order:
-            nl, nr, nb, poses = entry
-            est = 1.2 * float(np.median(compile_hist[-3:])) + (
-                args.reps + 1
-            ) * modeled_batch_seconds(nl, nr, poses)
-            if time.time() - t_start + est > args.budget:
-                print(f"# budget: stopping fine plan before {nl}x{nr}",
-                      file=sys.stderr)
-                break
-            r = _bench_bucket_safe(
-                pipeline, nl, nr, nb, poses,
-                n_rep=args.reps, anomaly_factor=args.anomaly_factor,
-            )
-            if "error" not in r:
-                compile_hist.append(max(60.0, r["compile_s"]))
-            if r["anomaly"]:
-                fine_anomalies.append(list(entry))
-            else:
-                fine_measured[entry] = r["steady_s_per_batch"]
-            print(
-                f"# fine-plan bucket nl={nl} nr={nr} nb={nb} P={poses} "
-                f"({len(plan[entry])} complexes): compile "
-                f"{r['compile_s']:.1f}s, steady "
-                f"{r['steady_s_per_batch']:.2f}s/batch -> "
-                f"{r['poses_per_sec']:.2f} poses/s", file=sys.stderr,
-            )
-            details[f"fineplan_{nl}x{nr}_p{poses}"] = {
-                "bucket": {"nl": nl, "nr": nr, "nb": nb},
-                "poses_in_flight": poses,
-                "complexes_served": len(plan[entry]),
-                "compile_s": round(r["compile_s"], 1),
-                "steady_s_per_batch": round(r["steady_s_per_batch"], 3),
-                "poses_per_sec": round(r["poses_per_sec"], 3),
-                **({"anomaly": True} if r["anomaly"] else {}),
-                **({"error": r["error"]} if "error" in r else {}),
-            }
-            # incremental weighted_fine (model fill for unmeasured tail)
+        # seed from fineplan_* rows banked by earlier runs (the SAME
+        # compiled program regardless of which grid's plan requested it;
+        # rows are content-matched on (bucket, P), not key format) —
+        # measurement accumulates across runs, like the pose caches
+        banked_fine = _banked_fineplan()
+        fine_measured = {
+            e: banked_fine[e] for e in f_order if e in banked_fine
+        }
+        if fine_measured:
+            print(f"# fine plan: {len(fine_measured)}/{len(plan)} programs "
+                  f"pre-filled from banked runs", file=sys.stderr)
+        fine_anomalies = []
+        n_seeded = len(fine_measured)
+        w_key = "weighted_fine_dense" if dense else "weighted_fine"
+
+        def _update_weighted_fine():
+            # incremental: banked + live measurements, model fill for the
+            # unmeasured tail
             f_time, f_filled, f_pad = 0.0, 0, []
             for e, members in plan.items():
                 t = fine_measured.get(
@@ -700,25 +730,69 @@ def main():
             total_poses_fine = POSES_PER_COMPLEX * sum(
                 len(m) for m in plan.values()
             )
-            w_fine = total_poses_fine / f_time
-            details["weighted_fine"] = {
+            details[w_key] = {
                 "complexes": N_CHURN_COMPLEXES,
                 "poses_per_complex": POSES_PER_COMPLEX,
                 "total_time_s": round(f_time, 1),
-                "poses_per_sec": round(w_fine, 3),
+                "poses_per_sec": round(total_poses_fine / f_time, 3),
+                "grid": args.fine_grid,
                 "programs": len(plan),
                 "measured_programs": len(fine_measured),
+                "banked_programs": n_seeded,
                 "model_filled_complexes": f_filled,
                 "mean_fine_padding": round(float(np.mean(f_pad)), 3),
                 "anomalies": fine_anomalies,
             }
             _write_details(details)
-        if "weighted_fine" in details:
+
+        if fine_measured:
+            _update_weighted_fine()
+        for entry in f_order:
+            if entry in fine_measured:
+                continue
+            nl, nr, nb, poses = entry
+            est = 1.2 * float(np.median(compile_hist[-3:])) + (
+                args.reps + 1
+            ) * modeled_batch_seconds(nl, nr, poses)
+            if time.time() - t_start + est > args.budget:
+                print(f"# budget: stopping fine plan before {nl}x{nr}",
+                      file=sys.stderr)
+                break
+            r = _bench_bucket_safe(
+                fpipe, nl, nr, nb, poses,
+                n_rep=args.reps, anomaly_factor=args.anomaly_factor,
+            )
+            if "error" not in r:
+                compile_hist.append(max(60.0, r["compile_s"]))
+            if r["anomaly"]:
+                fine_anomalies.append(list(entry))
+            else:
+                fine_measured[entry] = r["steady_s_per_batch"]
             print(
-                f"# weighted (fine plan, warmed service): "
-                f"{details['weighted_fine']['poses_per_sec']} poses/s over "
-                f"{details['weighted_fine']['programs']} programs "
-                f"(x{details['weighted_fine']['mean_fine_padding']} mean "
+                f"# fine-plan bucket nl={nl} nr={nr} nb={nb} P={poses} "
+                f"({len(plan[entry])} complexes): compile "
+                f"{r['compile_s']:.1f}s, steady "
+                f"{r['steady_s_per_batch']:.2f}s/batch -> "
+                f"{r['poses_per_sec']:.2f} poses/s", file=sys.stderr,
+            )
+            details[f"fineplan_{nl}x{nr}x{nb}_p{poses}"] = {
+                "bucket": {"nl": nl, "nr": nr, "nb": nb},
+                "poses_in_flight": poses,
+                "complexes_served": len(plan[entry]),
+                "compile_s": round(r["compile_s"], 1),
+                "steady_s_per_batch": round(r["steady_s_per_batch"], 3),
+                "poses_per_sec": round(r["poses_per_sec"], 3),
+                **({"anomaly": True} if r["anomaly"] else {}),
+                **({"error": r["error"]} if "error" in r else {}),
+            }
+            _update_weighted_fine()
+        if w_key in details:
+            print(
+                f"# weighted (fine plan, warmed service, "
+                f"{args.fine_grid} grid): "
+                f"{details[w_key]['poses_per_sec']} poses/s over "
+                f"{details[w_key]['programs']} programs "
+                f"(x{details[w_key]['mean_fine_padding']} mean "
                 f"padding)", file=sys.stderr,
             )
         else:
@@ -743,13 +817,21 @@ def main():
                 "poses_per_sec": round(r["poses_per_sec"], 3),
             }
 
-    # final (authoritative) line: partial only if the budget cut the tail
+    # final (authoritative) line: partial if the budget cut the tail or
+    # the cover plan was served from the bank instead of live
     _emit_headline(
         details, measured, quarantined,
-        partial=bool(skipped_budget), pocket_time=pocket_time,
+        partial=bool(skipped_budget) or args.bank_cover,
+        pocket_time=pocket_time,
         fine_pps=(
-            details["weighted_fine"]["poses_per_sec"]
-            if args.fine_plan and "weighted_fine" in details else None
+            details[
+                "weighted_fine_dense" if args.fine_grid == "dense"
+                else "weighted_fine"
+            ]["poses_per_sec"]
+            if args.fine_plan
+            and ("weighted_fine_dense" if args.fine_grid == "dense"
+                 else "weighted_fine") in details
+            else None
         ),
         banked=banked,
     )

@@ -98,9 +98,13 @@ def get_parser() -> argparse.ArgumentParser:
                    help="sigma-dependent receptor crop radius per step "
                         "(reference crop_beyond, utils/utils.py:388-413); "
                         "overrides the model config when given")
-    p.add_argument("--bucket_ladder", choices=("fine", "cover"),
+    p.add_argument("--bucket_ladder",
+                   choices=("fine", "fine_dense", "cover"),
                    default="fine",
                    help="'fine' = minimal-padding geometric buckets; "
+                        "'fine_dense' = fine on the ~1.2x-spaced dense "
+                        "rungs (least padding; for warmed services, see "
+                        "prewarm --fine --dense); "
                         "'cover' = the ~10-program cover ladder "
                         "(inference/ladder.py) so a many-complex sweep "
                         "avoids the per-size compile churn")

@@ -110,7 +110,8 @@ def get_parser():
     p.add_argument("--pocket_capacity", type=int, default=None,
                    help="with crop_beyond: gather-compact the receptor to "
                         "this many nearest residues per step")
-    p.add_argument("--bucket_ladder", choices=("fine", "cover"),
+    p.add_argument("--bucket_ladder",
+                   choices=("fine", "fine_dense", "cover"),
                    default="cover",
                    help="'cover' (default for sweeps) pads each complex to "
                         "the ~10-program cover ladder (inference/ladder.py) "

@@ -69,6 +69,11 @@ def get_parser():
                         "PDBBind-like size mix, bench.py fine_plan) — "
                         "hours cold, then every sweep runs the "
                         "minimal-padding plan from cache")
+    p.add_argument("--dense", action="store_true", default=False,
+                   help="with --fine: the dense-grid plan instead "
+                        "(~85 programs on the ~1.2x-spaced rungs, what "
+                        "bucket_ladder='fine_dense' executes — the "
+                        "max-throughput warmed-service plan)")
     p.add_argument("--samples_per_complex", type=int, default=None,
                    help="also compile each cover bucket at this pose count "
                         "(e.g. 10 for the reference default recipe)")
@@ -85,7 +90,7 @@ def main(argv=None) -> int:
     import numpy as np
 
     from diffdock_tpu.data.complexes import (
-        bucket_sizes, pad_to, synthetic_complex,
+        pad_to, synthetic_complex,
     )
     from diffdock_tpu.diffusion.so3 import get_so3_tables
     from diffdock_tpu.diffusion.torus import get_torus_tables
@@ -166,7 +171,7 @@ def main(argv=None) -> int:
     if args.fine:
         from diffdock_tpu.inference.ladder import fine_plan
 
-        jobs += list(fine_plan().keys())
+        jobs += list(fine_plan(dense=args.dense).keys())
     if args.samples_per_complex:
         jobs += [
             (nl, nr, nb, args.samples_per_complex)
@@ -182,7 +187,11 @@ def main(argv=None) -> int:
             rng, n_lig=nl, n_rec=nr, n_bonds=nb,
             lm_dim=cfg.lm_embedding_dim or 1280,
         )
-        bl, br, bb = bucket_sizes(data.n_lig, data.n_rec, data.n_bonds)
+        # the job sizes ARE the program's bucket sizes (fine, dense, and
+        # cover rungs alike — re-rounding through one grid would corrupt
+        # the others' rungs); synthetic_complex was built at exactly
+        # these sizes, so pad_to is an identity check
+        bl, br, bb = nl, nr, nb
         padded = jax.tree.map(jnp.asarray, pad_to(data, bl, br, bb))
         fn = pipeline._get_compiled((bl, br, bb, 0), poses, False)
         t0 = time.time()

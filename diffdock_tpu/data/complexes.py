@@ -141,6 +141,21 @@ LIG_BUCKETS = (16, 24, 32, 48, 64, 96, 128, 192, 256)
 REC_BUCKETS = (64, 128, 192, 320, 448, 704, 1024, 1536, 2304, 3072)
 BOND_BUCKETS = (8, 16, 32, 64, 128)
 
+# Dense (~1.2x-spaced) rungs for warmed services: per-pose cost is linear
+# in the padded NL*NR cross-block area (PERF.md "Scaling in receptor
+# size"), so a finer grid converts padding directly into throughput
+# (x1.56 -> x1.29 mean padding on the PDBBind-like mix, modeled +21%).
+# The trade is program count (~85 vs ~38 programs for a 150-complex
+# sweep) — one-time prewarm + persistent-cache disk, irrelevant once
+# warm. Used by DockingPipeline(bucket_ladder="fine_dense") and
+# ladder.fine_plan(dense=True); training and the cover ladder keep the
+# default grid (compile count matters there).
+DENSE_LIG_BUCKETS = (16, 20, 24, 28, 32, 40, 48, 56, 64, 80, 96,
+                     128, 192, 256)
+DENSE_REC_BUCKETS = (64, 128, 192, 256, 320, 384, 448, 512, 576, 640,
+                     704, 832, 1024, 1152, 1280, 1536, 1792, 2048, 2304,
+                     2688, 3072)
+
 
 def _ladder(n: int, rungs: Tuple[int, ...], quantum: int) -> int:
     for r in rungs:
@@ -152,12 +167,17 @@ def _ladder(n: int, rungs: Tuple[int, ...], quantum: int) -> int:
 def bucket_sizes(
     n_lig: int, n_rec: int, n_bonds: int,
     lig_quantum: int = 16, rec_quantum: int = 64, bond_quantum: int = 8,
+    dense: bool = False,
 ) -> Tuple[int, int, int]:
     """Round sizes up the geometric bucket ladders to bound jit
-    recompilation; the quanta only govern overflow past the last rung."""
+    recompilation; the quanta only govern overflow past the last rung.
+    ``dense`` selects the ~1.2x-spaced warmed-service rungs (less
+    padding, more programs — see DENSE_*_BUCKETS)."""
     return (
-        _ladder(n_lig, LIG_BUCKETS, lig_quantum),
-        _ladder(n_rec, REC_BUCKETS, rec_quantum),
+        _ladder(n_lig, DENSE_LIG_BUCKETS if dense else LIG_BUCKETS,
+                lig_quantum),
+        _ladder(n_rec, DENSE_REC_BUCKETS if dense else REC_BUCKETS,
+                rec_quantum),
         _ladder(max(n_bonds, 1), BOND_BUCKETS, bond_quantum),
     )
 

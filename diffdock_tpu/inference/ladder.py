@@ -122,7 +122,7 @@ def fine_hbm_poses(nl: int, nr: int) -> int:
     )
 
 
-def fine_plan(sizes=None):
+def fine_plan(sizes=None, dense=False):
     """The warmed-service execution plan: each complex in its
     minimal-padding fine bucket (``data/complexes.bucket_sizes``, what
     ``DockingPipeline(bucket_ladder="fine")`` pads to) with the largest
@@ -130,7 +130,10 @@ def fine_plan(sizes=None):
     batches. ~38 programs at x1.56 mean padding for the default mix vs
     the cover ladder's 16 at x2.02 — the right plan once the persistent
     cache is warm (``prewarm --fine``); the cover ladder remains the
-    cold-sweep default. Returns {(nl, nr, nb, P): [(nl_c, nr_c), ...]}."""
+    cold-sweep default. ``dense`` uses the ~1.2x-spaced warmed-service
+    rungs instead (~85 programs at x1.29 mean padding, what
+    ``DockingPipeline(bucket_ladder="fine_dense")`` executes).
+    Returns {(nl, nr, nb, P): [(nl_c, nr_c), ...]}."""
     from diffdock_tpu.data.complexes import bucket_sizes
 
     if sizes is None:
@@ -138,7 +141,7 @@ def fine_plan(sizes=None):
     plan = {}
     for nl_c, nr_c in sizes:
         nb_c = max(1, nl_c // 4)
-        nl, nr, nb = bucket_sizes(nl_c, nr_c, nb_c)
+        nl, nr, nb = bucket_sizes(nl_c, nr_c, nb_c, dense=dense)
         plan.setdefault(
             (nl, nr, nb, fine_hbm_poses(nl, nr)), []
         ).append((nl_c, nr_c))

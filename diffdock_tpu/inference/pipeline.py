@@ -86,11 +86,15 @@ class DockingPipeline:
 
         ``bucket_ladder``: ``"fine"`` pads each complex to the geometric
         ladder of ``data/complexes.py`` (minimal padding FLOPs — right for
-        single complexes and repeated same-size runs); ``"cover"`` pads to
-        the first fitting entry of ``inference/ladder.COVER_LADDER`` so a
-        whole evaluation sweep compiles at most 16 programs instead of
-        ~38 (the bench.py weighted-headline plan; oversize complexes fall
-        back to the fine ladder).
+        single complexes and repeated same-size runs); ``"fine_dense"``
+        is fine mode on the ~1.2x-spaced DENSE_*_BUCKETS rungs (least
+        padding, ~85 programs for a 150-complex sweep — the
+        max-throughput plan for a warmed service, ``prewarm --fine
+        --dense``); ``"cover"`` pads to the first fitting entry of
+        ``inference/ladder.COVER_LADDER`` so a whole evaluation sweep
+        compiles at most 16 programs instead of ~38 (the bench.py
+        weighted-headline plan; oversize complexes fall back to the fine
+        ladder).
 
         ``mesh``: a 1-axis ``jax.sharding.Mesh`` to shard the POSE axis
         over (pose replicas are embarrassingly parallel — the reference's
@@ -131,8 +135,12 @@ class DockingPipeline:
         # residues per step (gather; the dense blocks actually SHRINK)
         # instead of only masking. None keeps the exact masking crop.
         self.pocket_capacity = pocket_capacity
-        assert bucket_ladder in ("fine", "cover"), bucket_ladder
+        assert bucket_ladder in ("fine", "fine_dense", "cover"), bucket_ladder
         self.bucket_ladder = bucket_ladder
+        # "fine_dense": fine-ladder behavior on the ~1.2x-spaced
+        # warmed-service rungs (DENSE_*_BUCKETS — less padding, more
+        # programs; see ladder.fine_plan(dense=True))
+        self._dense = bucket_ladder == "fine_dense"
         self.score_cfg = score_cfg
         self.score_model = build_model(score_cfg)
         self.score_params = score_params
@@ -453,7 +461,8 @@ class DockingPipeline:
         else:
             # fine mode, or an oversize complex falling back to the fine
             # ladder from cover mode: same HBM cap as dock_complex
-            nl, nr, _ = bucket_sizes(data.n_lig, data.n_rec, data.n_bonds)
+            nl, nr, _ = bucket_sizes(data.n_lig, data.n_rec, data.n_bonds,
+                                     dense=self._dense)
             cap = self._fine_hbm_chunk(nl, nr)
             if (chunk or num_poses) > cap:
                 chunk = min(chunk, cap) if chunk else cap
@@ -489,7 +498,8 @@ class DockingPipeline:
         chunk defaults to the ladder entry's poses-in-flight (and any
         explicit batch_size is capped there, the HBM-safety bound)."""
         data, aa_data = self._pre_crop_host(data, aa_data)
-        nl, nr, nb = bucket_sizes(data.n_lig, data.n_rec, data.n_bonds)
+        nl, nr, nb = bucket_sizes(data.n_lig, data.n_rec, data.n_bonds,
+                                  dense=self._dense)
         ladder_poses, cov = None, None
         if self.bucket_ladder == "cover":
             from diffdock_tpu.inference.ladder import cover_bucket
@@ -700,7 +710,7 @@ class DockingPipeline:
             range(n),
             key=lambda i: bucket_sizes(
                 cropped[i][0].n_lig, cropped[i][0].n_rec,
-                cropped[i][0].n_bonds,
+                cropped[i][0].n_bonds, dense=self._dense,
             ),
         )
         results: list = [None] * n
@@ -711,7 +721,8 @@ class DockingPipeline:
 
             nl, nr, nb = (
                 max(
-                    bucket_sizes(d.n_lig, d.n_rec, d.n_bonds)[k]
+                    bucket_sizes(d.n_lig, d.n_rec, d.n_bonds,
+                                 dense=self._dense)[k]
                     for d, _ in members
                 )
                 for k in range(3)
