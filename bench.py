@@ -332,27 +332,34 @@ def _churn_weight_order():
 
 def _banked_steady(steps):
     """Per-bucket steady times banked in BENCH_DETAILS.json by earlier
-    runs (clean cover_* rows at the same step count). Lets a budget-cut
-    run fill its unmeasured tail with real chip numbers instead of the
-    cost model — the artifact degrades gracefully under the driver's
-    wall clock instead of reverting to modeled fills."""
+    runs — clean cover_* rows at the same step count, plus fineplan_*
+    rows whose (bucket, P) matches exactly (the compiled program is
+    identical; cover rows take precedence). Lets a budget-cut run fill
+    its unmeasured tail with real chip numbers instead of the cost
+    model — the artifact degrades gracefully under the driver's wall
+    clock instead of reverting to modeled fills."""
     try:
         with open("BENCH_DETAILS.json") as f:
             disk = json.load(f)
     except (FileNotFoundError, ValueError):
         return {}
     banked = {}
-    for k, row in disk.items():
-        if not (k.startswith("cover_") and isinstance(row, dict)):
-            continue
-        if row.get("error") or row.get("anomaly"):
-            continue
-        if row.get("steps") != steps or not row.get("steady_s_per_batch"):
-            continue
-        b = row["bucket"]
-        banked[(b["nl"], b["nr"], b["nb"], row["poses_in_flight"])] = row[
-            "steady_s_per_batch"
-        ]
+    for prefix in ("fineplan_", "cover_"):  # cover overwrites fineplan
+        for k, row in disk.items():
+            if not (k.startswith(prefix) and isinstance(row, dict)):
+                continue
+            if row.get("error") or row.get("anomaly"):
+                continue
+            if not row.get("steady_s_per_batch"):
+                continue
+            # fineplan rows don't store steps: every banking run uses the
+            # bench default, which is what `steps` is unless overridden
+            if row.get("steps", STEPS) != steps:
+                continue
+            b = row["bucket"]
+            banked[
+                (b["nl"], b["nr"], b["nb"], row["poses_in_flight"])
+            ] = row["steady_s_per_batch"]
     return banked
 
 
@@ -532,7 +539,14 @@ def main():
 
     from diffdock_tpu.inference.ladder import modeled_batch_seconds
 
-    pipeline = _make_pipeline(args.steps)
+    # dense-grid fine pipeline: the dense rungs are a superset of every
+    # bucket this tool measures (cover v3 entries, both fine plans, the
+    # pocket ladder), so synthetic complexes built AT a bucket's exact
+    # sizes pad to themselves and the measured program is exactly the
+    # requested one. The ladder mode only affects padding choice; the
+    # compiled program for given padded shapes is identical across modes,
+    # so cache entries and banked rows transfer.
+    pipeline = _make_pipeline(args.steps, dense=True)
 
     order, weights = _churn_weight_order()
     banked = _banked_steady(args.steps)
@@ -624,7 +638,7 @@ def main():
         # crop_beyond is not part of the reference default recipe.
         from diffdock_tpu.inference.ladder import COVER_LADDER
 
-        ppipe = _make_pipeline(args.steps, pocket=True)
+        ppipe = _make_pipeline(args.steps, pocket=True, dense=True)
         pocket_measured = dict(measured)
         for nl, nr, nb, poses in COVER_LADDER:
             if nr <= POCKET_CAPACITY:
@@ -690,7 +704,7 @@ def main():
         # run still lands a mostly-measured number
         dense = args.fine_grid == "dense"
         plan = fine_plan(dense=dense)
-        fpipe = _make_pipeline(args.steps, dense=True) if dense else pipeline
+        fpipe = pipeline  # dense rungs cover both grids' programs
         f_order = sorted(
             plan,
             key=lambda e: -len(plan[e])

@@ -137,10 +137,6 @@ class DockingPipeline:
         self.pocket_capacity = pocket_capacity
         assert bucket_ladder in ("fine", "fine_dense", "cover"), bucket_ladder
         self.bucket_ladder = bucket_ladder
-        # "fine_dense": fine-ladder behavior on the ~1.2x-spaced
-        # warmed-service rungs (DENSE_*_BUCKETS — less padding, more
-        # programs; see ladder.fine_plan(dense=True))
-        self._dense = bucket_ladder == "fine_dense"
         self.score_cfg = score_cfg
         self.score_model = build_model(score_cfg)
         self.score_params = score_params
@@ -425,6 +421,12 @@ class DockingPipeline:
         return data, aa_data
 
     # ------------------------------------------------------------------
+    @property
+    def _dense(self) -> bool:
+        """"fine_dense": fine-ladder behavior on the ~1.2x-spaced
+        warmed-service rungs (DENSE_*_BUCKETS; ladder.fine_plan(dense=True))."""
+        return self.bucket_ladder == "fine_dense"
+
     def _fine_hbm_chunk(self, nl: int, nr: int) -> int:
         """``ladder.fine_hbm_poses`` times the mesh size (the bound is
         per chip)."""

@@ -86,10 +86,10 @@ def test_weight_order_covers_ladder_and_descends():
     w = [weights[e] for e in order]
     assert w == sorted(w, reverse=True)
     # the head of the order carries most of the plan: measuring the top
-    # half under a budget cut must cover >=70% of the modeled plan time
-    # (the churn mix spreads over many mid-size buckets, so the curve is
-    # flatter than a pure power law — 76% at half with ladder v2)
-    assert sum(w[: len(w) // 2]) >= 0.7 * sum(w)
+    # half under a budget cut must cover >=60% of the modeled plan time
+    # (ladder v3's lower padding spreads weight more evenly than v2's
+    # 76%-at-half — 64% at half; flatter is the price of less padding)
+    assert sum(w[: len(w) // 2]) >= 0.6 * sum(w)
 
 
 def test_weighted_plan_model_fill_and_measured_agree():
@@ -134,7 +134,7 @@ def test_weighted_plan_quarantine_reroutes_and_costs_more():
         e: modeled_batch_seconds(e[0], e[1], e[3]) for e in COVER_LADDER
     }
     t0, _, _, _, _ = bench._weighted_plan(measured, set())
-    bad = (16, 704, 16, 40)  # the round-3 driver anomaly bucket
+    bad = (16, 640, 16, 40)  # small-ligand express lane (cf. the round-3 16x704 anomaly)
     t1, _, _, _, _ = bench._weighted_plan(measured, {bad})
     # re-routing to the next covering entry is slower but bounded
     assert t0 < t1 < 1.25 * t0

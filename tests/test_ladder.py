@@ -93,7 +93,7 @@ def test_exclude_reroutes_to_next_covering_entry():
     # quarantining the entry a complex would route to re-routes it to the
     # next (slower but healthy) covering entry — the anomaly-guard path
     entry = cover_bucket(14, 600, 3)
-    assert entry == (16, 704, 16, 40)
+    assert entry == (16, 640, 16, 40)
     rerouted = cover_bucket(14, 600, 3, exclude={entry})
     assert rerouted is not None and rerouted != entry
     nl, nr, nb, _ = rerouted
