@@ -197,6 +197,7 @@ def main(argv=None) -> int:
         t0 = time.time()
         # AOT compile (no execution): lands in the persistent cache
         fn.lower(
+            (pipeline.so3, pipeline.torus),
             (pipeline.score_params, pipeline.confidence_params),
             jax.random.PRNGKey(0), padded, None,
             jnp.zeros((4,), jnp.float32),

@@ -53,27 +53,36 @@ def apply_torsion_updates(
     if bond_mask is None:
         bond_mask = jnp.ones(bond_u.shape, dtype=bool)
 
-    def body(p, inp):
-        u, v, row_mask, theta, valid = inp
-        axis = p[u] - p[v]
-        norm = jnp.linalg.norm(axis)
-        unit = axis / jnp.maximum(norm, 1e-12)
-        rot = axis_angle_to_matrix(unit * theta)
-        pivot = p[v]
-        # HIGHEST precision: TPU default bf16 matmul visibly distorts geometry
-        rotated = (
-            jnp.einsum("ni,ji->nj", p - pivot, rot,
-                       precision=jax.lax.Precision.HIGHEST)
-            + pivot
-        )
-        keep = valid & row_mask
-        p = jnp.where(keep[:, None], rotated, p)
-        return p, None
-
     out, _ = jax.lax.scan(
-        body, pos, (bond_u, bond_v, mask_rotate, torsion_updates, bond_mask)
+        _torsion_scan_body, pos,
+        (bond_u, bond_v, mask_rotate, torsion_updates, bond_mask),
     )
     return out
+
+
+def _torsion_scan_body(p, inp):
+    """Scan body of :func:`apply_torsion_updates`. Module-level (not a
+    per-call closure) so its identity is stable: JAX's scan-jaxpr cache is
+    keyed on (body function, input avals), and the avals here depend only
+    on (n_atoms, n_bonds) — a sweep over many receptor sizes re-traces the
+    outer program but reuses this body's trace whenever the ligand shape
+    repeats (and the 'function is being re-defined repeatedly' tracing-
+    cache warnings disappear from bench stderr)."""
+    u, v, row_mask, theta, valid = inp
+    axis = p[u] - p[v]
+    norm = jnp.linalg.norm(axis)
+    unit = axis / jnp.maximum(norm, 1e-12)
+    rot = axis_angle_to_matrix(unit * theta)
+    pivot = p[v]
+    # HIGHEST precision: TPU default bf16 matmul visibly distorts geometry
+    rotated = (
+        jnp.einsum("ni,ji->nj", p - pivot, rot,
+                   precision=jax.lax.Precision.HIGHEST)
+        + pivot
+    )
+    keep = valid & row_mask
+    p = jnp.where(keep[:, None], rotated, p)
+    return p, None
 
 
 def rotatable_bond_mask(

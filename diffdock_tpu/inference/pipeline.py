@@ -11,6 +11,7 @@ all-atom architecture, ``inference.py:84``).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import time
 import warnings
@@ -48,6 +49,184 @@ from diffdock_tpu.models.factory import build_model
 
 def _round_up(n, m):
     return ((n + m - 1) // m) * m
+
+
+def _score_forward(model, scfg, pocket_capacity, so3, torus, params, data,
+                   cache, poses, t):
+    """One denoising-step score forward over the pose batch (the body of
+    the sampler's ``score_fn``). Module-level so :func:`_score_head` can
+    hand the sampler a STABLE function identity — the scan body's trace is
+    then reusable across programs with matching shapes (VERDICT r4 ask #5)
+    instead of re-tracing for every per-instance closure."""
+    kw = {}
+    if scfg.crop_beyond is not None:
+        # reference sampling.py:104-109: crop at 3*tr_sigma + crop_beyond,
+        # unioned over the pose batch
+        tr_sigma, _, _ = t_to_sigma(t, t, t, scfg.sigma)
+        cutoff = 3.0 * tr_sigma + scfg.crop_beyond
+        if pocket_capacity is not None:
+            # gather-compaction: the dense blocks shrink to the pocket
+            # capacity (vs masking, which only zeroes)
+            cap = min(pocket_capacity, data.rec_mask.shape[0])
+            idx, valid = pocket_indices(
+                data.rec_pos, data.rec_mask, poses, data.lig_mask, cutoff,
+                cap,
+            )
+            pocket = compact_receptor(data, idx, valid)
+            return jax.vmap(
+                lambda p: model.apply(params, pocket, p, t, so3, torus)
+            )(poses)
+        kw["rec_keep"] = rec_keep_mask(
+            data.rec_pos, data.rec_mask, poses, data.lig_mask, cutoff
+        )
+    elif cache is not None:
+        # layer-0 rec<-rec messages are pose-independent: compute once per
+        # step, share across the pose vmap
+        kw["step_cache"] = model.apply(
+            params, data, t, cache, method="step_cache"
+        )
+    return jax.vmap(
+        lambda p: model.apply(
+            params, data, p, t, so3, torus, rec_cache=cache, **kw
+        )
+    )(poses)
+
+
+@functools.lru_cache(maxsize=64)
+def _score_head(model, scfg, pocket_capacity):
+    """Stable-identity score head for one (model, config) pair: traced
+    arguments are bound later via ``jax.tree_util.Partial``, whose treedef
+    carries this function — identical across pipeline instances, so JAX's
+    tracing caches hit where shapes allow."""
+
+    def head(so3, torus, params, data, cache, poses, t):
+        return _score_forward(
+            model, scfg, pocket_capacity, so3, torus, params, data, cache,
+            poses, t,
+        )
+
+    return head
+
+
+@functools.lru_cache(maxsize=256)
+def _make_run(score_model, score_cfg, sampler_cfg, confidence_model,
+              confidence_cfg, pocket_capacity, num_poses: int,
+              with_aa: bool, with_traj: bool):
+    """The full docking program for one padded complex: receptor embed +
+    initialization + reverse diffusion + confidence scoring.
+
+    Model parameters AND the diffusion tables enter as ARGUMENTS (not
+    closure captures): a closed-over param tree is baked into the HLO as
+    constants, which makes the persistent compilation cache
+    weight-specific — a prewarmed or previously-cached program would
+    recompile for every new checkpoint (and the serialized program carries
+    the weights). As arguments, one compiled program serves every
+    checkpoint of the same architecture.
+
+    Cached on the hashable model/config statics so the function object is
+    STABLE across pipeline instances: ``jax.jit``'s tracing cache is keyed
+    on (function, avals), so a re-instantiated pipeline reuses existing
+    traces for matching shapes instead of paying a full re-trace, and
+    bench stderr stops warning that the program 'is being re-defined
+    repeatedly' (VERDICT r4 ask #5)."""
+
+    def run(tables, all_params, key, data: ComplexData, aa_data, pocket):
+        # ``pocket``: (4,) array [x, y, z, flag] in the complex's
+        # centered frame; flag > 0 selects the pocket center as the
+        # initial placement (pocket-knowledge eval, reference
+        # evaluate.py:364-366). Traced, so one compiled program serves
+        # both modes and every pocket location.
+        so3, torus = tables
+        score_params, confidence_params = all_params
+        k_init, k_diff = jax.random.split(key)
+        scfg = score_cfg
+        # v1.0 architectures embed sigma through the node encoders, and
+        # crop_beyond requires re-embedding the cropped receptor per
+        # step — no time-independent cache in either case
+        cache = (
+            None
+            if scfg.old_architecture or scfg.crop_beyond is not None
+            else score_model.apply(
+                score_params, data, method="embed_receptor"
+            )
+        )
+
+        rw = jnp.asarray(data.rec_mask)[:, None].astype(jnp.float32)
+        rec_mean = (jnp.asarray(data.rec_pos) * rw).sum(0) / jnp.maximum(
+            rw.sum(), 1.0
+        )
+        center = jnp.where(pocket[3] > 0, pocket[:3], rec_mean)
+        init = randomize_position(
+            k_init, data, num_poses,
+            sampler_cfg.pocket_tr_max
+            if sampler_cfg.pocket_tr_max is not None
+            else scfg.sigma.tr_sigma_max,
+            sampler_cfg.initial_noise_std_proportion,
+            no_random=(sampler_cfg.no_random
+                       or sampler_cfg.no_random_pocket),
+            no_torsion=scfg.no_torsion,
+            pocket_center=center,
+            choose_residue=sampler_cfg.choose_residue,
+        )
+
+        score_fn = jax.tree_util.Partial(
+            _score_head(score_model, scfg, pocket_capacity),
+            so3, torus, score_params, data, cache,
+        )
+
+        final = reverse_diffusion(
+            k_diff, score_fn, data, init, sampler_cfg,
+            scfg.sigma, so3, torus,
+            no_torsion=scfg.no_torsion,
+            return_trajectory=with_traj,
+        )
+        traj = jnp.zeros((0,))
+        if with_traj:
+            final, traj = final
+
+        affinity = jnp.zeros(())
+        if confidence_model is not None:
+            conf_data = aa_data if with_aa else data
+            ccfg = confidence_cfg
+            conf_kw = {}
+            if ccfg.crop_beyond is not None:
+                # reference sampling.py:213-216: plain crop_beyond (no
+                # sigma term), unioned over the final pose batch
+                conf_kw["rec_keep"] = rec_keep_mask(
+                    data.rec_pos, data.rec_mask, final, data.lig_mask,
+                    ccfg.crop_beyond,
+                )
+            conf_cache = (
+                None
+                if ccfg.old_architecture or ccfg.crop_beyond is not None
+                else confidence_model.apply(
+                    confidence_params, conf_data,
+                    method="embed_receptor",
+                )
+            )
+            out = jax.vmap(
+                lambda p: confidence_model.apply(
+                    confidence_params, conf_data, p, jnp.asarray(0.0),
+                    so3, torus, rec_cache=conf_cache, **conf_kw,
+                )
+            )(final)
+            conf = jnp.nan_to_num(out[..., 0], nan=-1000.0)
+            if ccfg.affinity_prediction:
+                if ccfg.old_architecture:
+                    # old layout: one extra output column per pose
+                    # (old_aa_model.py:125 output_confidence_dim + 1)
+                    affinity = jnp.mean(out[..., -1])
+                else:
+                    feats = out[..., ccfg.num_confidence_outputs :]
+                    affinity = confidence_model.apply(
+                        confidence_params, feats,
+                        method="predict_affinity",
+                    )
+        else:
+            conf = jnp.zeros((num_poses,))
+        return final, conf, affinity, traj
+
+    return run
 
 
 @dataclasses.dataclass
@@ -174,149 +353,15 @@ class DockingPipeline:
 
     # ------------------------------------------------------------------
     def _program(self, num_poses: int, with_aa: bool, with_traj: bool = False):
-        """The full docking program for one padded complex.
-
-        Model parameters enter as ARGUMENTS (not closure captures): a
-        closed-over param tree is baked into the HLO as constants, which
-        makes the persistent compilation cache weight-specific — a
-        prewarmed or previously-cached program would recompile for every
-        new checkpoint (and the serialized program carries the weights).
-        As arguments, one compiled program serves every checkpoint of the
-        same architecture."""
-
-        def run(all_params, key, data: ComplexData, aa_data, pocket):
-            # ``pocket``: (4,) array [x, y, z, flag] in the complex's
-            # centered frame; flag > 0 selects the pocket center as the
-            # initial placement (pocket-knowledge eval, reference
-            # evaluate.py:364-366). Traced, so one compiled program serves
-            # both modes and every pocket location.
-            score_params, confidence_params = all_params
-            k_init, k_diff = jax.random.split(key)
-            scfg = self.score_cfg
-            # v1.0 architectures embed sigma through the node encoders, and
-            # crop_beyond requires re-embedding the cropped receptor per
-            # step — no time-independent cache in either case
-            cache = (
-                None
-                if scfg.old_architecture or scfg.crop_beyond is not None
-                else self.score_model.apply(
-                    score_params, data, method="embed_receptor"
-                )
-            )
-
-            rw = jnp.asarray(data.rec_mask)[:, None].astype(jnp.float32)
-            rec_mean = (jnp.asarray(data.rec_pos) * rw).sum(0) / jnp.maximum(
-                rw.sum(), 1.0
-            )
-            center = jnp.where(pocket[3] > 0, pocket[:3], rec_mean)
-            init = randomize_position(
-                k_init, data, num_poses,
-                self.sampler_cfg.pocket_tr_max
-                if self.sampler_cfg.pocket_tr_max is not None
-                else self.score_cfg.sigma.tr_sigma_max,
-                self.sampler_cfg.initial_noise_std_proportion,
-                no_random=(self.sampler_cfg.no_random
-                           or self.sampler_cfg.no_random_pocket),
-                no_torsion=self.score_cfg.no_torsion,
-                pocket_center=center,
-                choose_residue=self.sampler_cfg.choose_residue,
-            )
-
-            def score_fn(poses, t):
-                kw = {}
-                if scfg.crop_beyond is not None:
-                    # reference sampling.py:104-109: crop at 3*tr_sigma +
-                    # crop_beyond, unioned over the pose batch
-                    tr_sigma, _, _ = t_to_sigma(t, t, t, scfg.sigma)
-                    cutoff = 3.0 * tr_sigma + scfg.crop_beyond
-                    if self.pocket_capacity is not None:
-                        # gather-compaction: the dense blocks shrink to the
-                        # pocket capacity (vs masking, which only zeroes)
-                        cap = min(
-                            self.pocket_capacity, data.rec_mask.shape[0]
-                        )
-                        idx, valid = pocket_indices(
-                            data.rec_pos, data.rec_mask, poses,
-                            data.lig_mask, cutoff, cap,
-                        )
-                        pocket = compact_receptor(data, idx, valid)
-                        return jax.vmap(
-                            lambda p: self.score_model.apply(
-                                score_params, pocket, p, t,
-                                self.so3, self.torus,
-                            )
-                        )(poses)
-                    kw["rec_keep"] = rec_keep_mask(
-                        data.rec_pos, data.rec_mask, poses, data.lig_mask,
-                        cutoff,
-                    )
-                elif cache is not None:
-                    # layer-0 rec<-rec messages are pose-independent:
-                    # compute once per step, share across the pose vmap
-                    kw["step_cache"] = self.score_model.apply(
-                        score_params, data, t, cache,
-                        method="step_cache",
-                    )
-                return jax.vmap(
-                    lambda p: self.score_model.apply(
-                        score_params, data, p, t, self.so3, self.torus,
-                        rec_cache=cache, **kw,
-                    )
-                )(poses)
-
-            final = reverse_diffusion(
-                k_diff, score_fn, data, init, self.sampler_cfg,
-                self.score_cfg.sigma, self.so3, self.torus,
-                no_torsion=self.score_cfg.no_torsion,
-                return_trajectory=with_traj,
-            )
-            traj = jnp.zeros((0,))
-            if with_traj:
-                final, traj = final
-
-            affinity = jnp.zeros(())
-            if self.confidence_model is not None:
-                conf_data = aa_data if with_aa else data
-                ccfg = self.confidence_cfg
-                conf_kw = {}
-                if ccfg.crop_beyond is not None:
-                    # reference sampling.py:213-216: plain crop_beyond (no
-                    # sigma term), unioned over the final pose batch
-                    conf_kw["rec_keep"] = rec_keep_mask(
-                        data.rec_pos, data.rec_mask, final, data.lig_mask,
-                        ccfg.crop_beyond,
-                    )
-                conf_cache = (
-                    None
-                    if ccfg.old_architecture or ccfg.crop_beyond is not None
-                    else self.confidence_model.apply(
-                        confidence_params, conf_data,
-                        method="embed_receptor",
-                    )
-                )
-                out = jax.vmap(
-                    lambda p: self.confidence_model.apply(
-                        confidence_params, conf_data, p, jnp.asarray(0.0),
-                        self.so3, self.torus, rec_cache=conf_cache, **conf_kw,
-                    )
-                )(final)
-                conf = jnp.nan_to_num(out[..., 0], nan=-1000.0)
-                if ccfg.affinity_prediction:
-                    if ccfg.old_architecture:
-                        # old layout: one extra output column per pose
-                        # (old_aa_model.py:125 output_confidence_dim + 1)
-                        affinity = jnp.mean(out[..., -1])
-                    else:
-                        feats = out[..., ccfg.num_confidence_outputs :]
-                        affinity = self.confidence_model.apply(
-                            confidence_params, feats,
-                            method="predict_affinity",
-                        )
-            else:
-                conf = jnp.zeros((num_poses,))
-            return final, conf, affinity, traj
-
-        return run
+        """The full docking program for one padded complex (see
+        :func:`_make_run`). The returned function's identity is stable
+        across pipeline instances (cached on the model/config statics), so
+        jit/tracing caches are shared process-wide."""
+        return _make_run(
+            self.score_model, self.score_cfg, self.sampler_cfg,
+            self.confidence_model, self.confidence_cfg,
+            self.pocket_capacity, num_poses, bool(with_aa), bool(with_traj),
+        )
 
     def _sharded_program(self, num_poses: int, with_aa: bool,
                          with_traj: bool):
@@ -333,17 +378,17 @@ class DockingPipeline:
         assert num_poses % ndev == 0, (num_poses, ndev)
         base = self._program(num_poses // ndev, with_aa, with_traj)
 
-        def local(all_params, key, data, aa_data, pocket):
+        def local(tables, all_params, key, data, aa_data, pocket):
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
             final, conf, affinity, traj = base(
-                all_params, key, data, aa_data, pocket
+                tables, all_params, key, data, aa_data, pocket
             )
             return final, conf, jax.lax.pmean(affinity, axis_name), traj
 
         sharded = shard_map(
             local,
             mesh=self.mesh,
-            in_specs=(P(), P(), P(), P(), P()),
+            in_specs=(P(), P(), P(), P(), P(), P()),
             # trajectory is step-major (S, P, NL, 3): poses on axis 1;
             # without a trajectory every shard returns the same zeros((0,))
             out_specs=(P(axis_name), P(axis_name), P(),
@@ -602,6 +647,7 @@ class DockingPipeline:
         poses, conf, affinity, traj = self._execute(
             key, fn,
             (
+                (self.so3, self.torus),
                 (self.score_params, self.confidence_params),
                 jax.random.PRNGKey(seed), padded, padded_aa, pocket,
             ),
@@ -642,9 +688,9 @@ class DockingPipeline:
         (axis_name,) = self.mesh.axis_names
         base = self._program(num_poses, with_aa, False)
 
-        def local(all_params, keys, datas, aa_datas, pockets):
+        def local(tables, all_params, keys, datas, aa_datas, pockets):
             def one(key, data, aa, pocket):
-                return base(all_params, key, data, aa, pocket)
+                return base(tables, all_params, key, data, aa, pocket)
 
             return jax.vmap(
                 one, in_axes=(0, 0, 0 if with_aa else None, 0)
@@ -654,7 +700,7 @@ class DockingPipeline:
             local,
             mesh=self.mesh,
             in_specs=(
-                P(), P(axis_name), P(axis_name),
+                P(), P(), P(axis_name), P(axis_name),
                 P(axis_name) if with_aa else P(), P(axis_name),
             ),
             out_specs=(P(axis_name),) * 4,
@@ -821,6 +867,7 @@ class DockingPipeline:
                 poses, conf, affinity, _ = self._execute(
                     key, fn,
                     (
+                        (self.so3, self.torus),
                         (self.score_params, self.confidence_params),
                         keys, padded, padded_aa, pockets,
                     ),

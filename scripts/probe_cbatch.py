@@ -84,15 +84,16 @@ def main():
     # A: production single-complex program, P=40
     fn_a = jax.jit(pipeline._program(40, False, False))
     key = jax.random.PRNGKey(0)
-    pps_a = measure("c1_p40", fn_a, (params, key, datas[0], None, pocket), 40)
+    tables = (pipeline.so3, pipeline.torus)
+    pps_a = measure("c1_p40", fn_a, (tables, params, key, datas[0], None, pocket), 40)
 
     # B: C=4 complexes x P=40 in one program (4x in-flight work)
     def cbatch(num_poses):
         base = pipeline._program(num_poses, False, False)
 
-        def run(all_params, keys, batch, aa, pks):
+        def run(tables, all_params, keys, batch, aa, pks):
             return jax.vmap(
-                lambda k, d, p: base(all_params, k, d, None, p),
+                lambda k, d, p: base(tables, all_params, k, d, None, p),
                 in_axes=(0, 0, 0),
             )(keys, batch, pks)
 
@@ -100,11 +101,11 @@ def main():
 
     keys = jax.random.split(jax.random.PRNGKey(1), 4)
     pps_b = measure("c4_p40", cbatch(40),
-                    (params, keys, stacked, None, pockets), 160)
+                    (tables, params, keys, stacked, None, pockets), 160)
 
     # C: C=4 x P=10 (same 40 in flight as A, split across complexes)
     pps_c = measure("c4_p10", cbatch(10),
-                    (params, keys, stacked, None, pockets), 40)
+                    (tables, params, keys, stacked, None, pockets), 40)
 
     rows["speedup_c4_p40_vs_c1_p40"] = round(pps_b / pps_a, 3)
     rows["speedup_c4_p10_vs_c1_p40"] = round(pps_c / pps_a, 3)

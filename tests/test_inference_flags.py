@@ -231,6 +231,8 @@ def _bucket_capture_pipeline(bucket_ladder):
     pipe.pre_crop_radius = None
     pipe.pocket_capacity = None
     pipe.mesh = None
+    pipe.so3 = None
+    pipe.torus = None
     pipe.bucket_ladder = bucket_ladder
     pipe.score_cfg = cfg
     pipe.confidence_cfg = None
@@ -245,7 +247,7 @@ def _bucket_capture_pipeline(bucket_ladder):
     def fake_get_compiled(bucket, num_poses, with_aa, with_traj):
         pipe.captured.append(bucket + (num_poses,))
 
-        def fn(params, key, padded, aa, pocket):
+        def fn(tables, params, key, padded, aa, pocket):
             nl = padded.lig_pos.shape[0]
             return (jnp.zeros((num_poses, nl, 3)),
                     jnp.zeros((num_poses,)), jnp.zeros(()), None)
