@@ -363,6 +363,49 @@ def _banked_steady(steps):
     return banked
 
 
+def _banked_compile():
+    """(nl, nr) -> worst banked cold-compile seconds across all row
+    families in BENCH_DETAILS.json. The budget gate bounds a bucket's
+    estimated compile by this (ADVICE r4): the adaptive median estimate
+    under-predicted a 515 s cold compile (56x384) by >3x, so a cold-cache
+    run could start a compile it cannot afford. Only applied in the
+    cold-compile regime (recent observed compiles slow) — under a warm
+    persistent cache every program loads in seconds and the worst-ever
+    bound would starve the gate."""
+    try:
+        with open("BENCH_DETAILS.json") as f:
+            disk = json.load(f)
+    except (FileNotFoundError, ValueError):
+        return {}
+    worst = {}
+    for row in disk.values():
+        if not (isinstance(row, dict) and "bucket" in row):
+            continue
+        c = row.get("compile_s")
+        if not c:
+            continue
+        b = (row["bucket"]["nl"], row["bucket"]["nr"])
+        worst[b] = max(worst.get(b, 0.0), float(c))
+    return worst
+
+
+WARM_COMPILE_S = 45.0  # observed persistent-cache loads are < ~30 s
+
+
+def _est_compile_s(entry, compile_hist, raw_compiles, banked_compile):
+    """Budget-gate compile estimate for one ladder entry: the adaptive
+    median of recent compiles, bounded below by the worst banked cold
+    compile of the SAME bucket when this run looks cold (no observed
+    compile yet, or recent observed compiles above the cache-load
+    regime)."""
+    est = 1.2 * float(np.median(compile_hist[-3:]))
+    recent = raw_compiles[-2:]
+    warm = bool(recent) and max(recent) < WARM_COMPILE_S
+    if not warm:
+        est = max(est, banked_compile.get((entry[0], entry[1]), 0.0))
+    return est
+
+
 def _banked_fineplan():
     """(nl, nr, nb, P) -> steady s/batch from clean fineplan_* rows banked
     in BENCH_DETAILS.json by earlier runs (content-matched on the stored
@@ -388,6 +431,85 @@ def _banked_fineplan():
     return banked
 
 
+def _refresh_fine_bank(pipeline, details, args, t_start, compile_hist,
+                       raw_compiles, banked_compile, run_id, k):
+    """Bank-freshness audit (VERDICT r4 ask #4): re-measure the top-K
+    plan-weight BANKED fineplan programs on chip, record measured drift
+    on each row, and demote (overwrite + flag) rows drifting >10% — so
+    one libtpu/jax upgrade cannot silently stale the whole bank under a
+    still-green artifact. Runs before the bank is served; refreshed
+    values land on disk and are picked up by the seeding that follows."""
+    try:
+        with open("BENCH_DETAILS.json") as f:
+            disk = json.load(f)
+    except (FileNotFoundError, ValueError):
+        return []
+    rows = []
+    for key, row in disk.items():
+        if not (key.startswith("fineplan_") and isinstance(row, dict)):
+            continue
+        if row.get("error") or row.get("anomaly"):
+            continue
+        if not row.get("steady_s_per_batch"):
+            continue
+        p = row["poses_in_flight"]
+        w = (row.get("complexes_served", 1)
+             * -(-POSES_PER_COMPLEX // p) * row["steady_s_per_batch"])
+        rows.append((w, key, row))
+    rows.sort(key=lambda t: -t[0])
+    drifts = []
+    for _, key, row in rows[:k]:
+        b = row["bucket"]
+        nl, nr, nb, p = b["nl"], b["nr"], b["nb"], row["poses_in_flight"]
+        est = _est_compile_s(
+            (nl, nr), compile_hist, raw_compiles, banked_compile
+        ) + (args.reps + 1) * row["steady_s_per_batch"]
+        if time.time() - t_start + est > args.budget:
+            print(f"# bank refresh: budget exhausted before {key}",
+                  file=sys.stderr)
+            break
+        r = _bench_bucket_safe(
+            pipeline, nl, nr, nb, p,
+            n_rep=args.reps, anomaly_factor=args.anomaly_factor,
+        )
+        if "error" in r or r["anomaly"]:
+            # an anomalous refresh batch must not poison the bank; the
+            # runtime quarantine story already covers anomalies
+            print(f"# bank refresh {key}: anomalous/failed re-measure, "
+                  f"row left as-is", file=sys.stderr)
+            continue
+        compile_hist.append(max(60.0, r["compile_s"]))
+        raw_compiles.append(r["compile_s"])
+        old = row["steady_s_per_batch"]
+        drift = abs(r["steady_s_per_batch"] - old) / old
+        demoted = drift > 0.10
+        details[key] = {
+            **row,
+            "banked_at": run_id,
+            "compile_s": round(r["compile_s"], 1),
+            "steady_s_per_batch": round(r["steady_s_per_batch"], 3),
+            "poses_per_sec": round(r["poses_per_sec"], 3),
+            "drift_vs_bank": round(drift, 3),
+            **({"demoted_stale_value": old} if demoted else {}),
+        }
+        print(
+            f"# bank refresh {key}: banked {old:.3f} -> measured "
+            f"{r['steady_s_per_batch']:.3f} s/batch "
+            f"(drift {drift * 100:.1f}%)"
+            + ("  ** DEMOTED stale row **" if demoted else ""),
+            file=sys.stderr,
+        )
+        drifts.append({
+            "key": key, "banked": old,
+            "measured": round(r["steady_s_per_batch"], 3),
+            "drift": round(drift, 3), "demoted": demoted,
+        })
+    if drifts:
+        details["bank_refresh"] = {"run": run_id, "rows": drifts}
+        _write_details(details)
+    return drifts
+
+
 def _emit_headline(details, measured, quarantined, partial, pocket_time=None,
                    fine_pps=None, banked=None):
     """Recompute the weighted plan, update ``details``, and print a
@@ -396,7 +518,7 @@ def _emit_headline(details, measured, quarantined, partial, pocket_time=None,
         _weighted_plan(measured, quarantined, banked)
     )
     weighted = total_poses / total_time
-    details["weighted"] = {
+    row = {
         "complexes": N_CHURN_COMPLEXES,
         "poses_per_complex": POSES_PER_COMPLEX,
         "total_time_s": round(total_time, 1),
@@ -408,6 +530,15 @@ def _emit_headline(details, measured, quarantined, partial, pocket_time=None,
         "mean_cover_padding": round(mean_pad, 3),
         "partial": partial,
     }
+    if partial:
+        # a budget-cut / bank-served run must not overwrite the committed
+        # COMPLETE-run headline record: rows of different fill provenance
+        # would mix across commits (ADVICE r4). The rehearsal row records
+        # it instead; the final complete emission clears it.
+        details["weighted_rehearsal"] = row
+    else:
+        details["weighted"] = row
+        details.pop("weighted_rehearsal", None)
     line = {
         "metric": "poses_per_sec_weighted",
         "value": round(weighted, 3),
@@ -519,8 +650,15 @@ def main():
     ap.add_argument("--anomaly_factor", type=float, default=5.0,
                     help="quarantine a bucket whose first post-compile "
                          "batch exceeds this multiple of its cost model")
+    ap.add_argument("--bank_refresh_k", type=int, default=2,
+                    help="re-measure this many top-weight BANKED fineplan "
+                         "programs per run (drift audit; >10%% drift "
+                         "demotes the row); 0 disables")
     args = ap.parse_args()
     t_start = time.time()
+    # provenance stamp for every row this run banks (bank-freshness
+    # audit, VERDICT r4 ask #4): rows record WHICH run measured them
+    run_id = time.strftime("%Y-%m-%dT%H:%M:%S")
 
     # Enable the persistent cache BEFORE the first jit (model.init inside
     # _make_pipeline) so the init program is cached too, not just the dock
@@ -557,9 +695,13 @@ def main():
     # compile-time estimate for the budget gate: median of recent observed
     # compiles (adaptive — the first program of a fresh process pays
     # one-time backend/table setup that later programs don't, so a
-    # max-ever estimate would starve the gate after one big cold compile).
-    # The first bucket is always measured.
+    # max-ever estimate would starve the gate after one big cold compile),
+    # bounded below per-bucket by the worst banked cold compile while the
+    # run looks cold (_est_compile_s, ADVICE r4). The first bucket is
+    # always measured.
     compile_hist = [120.0]
+    raw_compiles = []
+    banked_compile = _banked_compile()
     if args.bank_cover and banked:
         print(f"# --bank_cover: cover headline served from "
               f"{len(banked)} banked buckets", file=sys.stderr)
@@ -569,7 +711,9 @@ def main():
     for k, entry in enumerate(order):
         nl, nr, nb, poses = entry
         model_s = modeled_batch_seconds(nl, nr, poses)
-        est_compile = 1.2 * float(np.median(compile_hist[-3:]))
+        est_compile = _est_compile_s(
+            entry, compile_hist, raw_compiles, banked_compile
+        )
         est_bucket = est_compile + (args.reps + 1) * model_s
         elapsed = time.time() - t_start
         if k > 0 and elapsed + est_bucket > args.budget:
@@ -581,6 +725,7 @@ def main():
         )
         if "error" not in r:
             compile_hist.append(max(60.0, r["compile_s"]))
+            raw_compiles.append(r["compile_s"])
         tag = ""
         if r["anomaly"]:
             quarantined.add(entry)
@@ -596,6 +741,7 @@ def main():
         )
         details[f"cover_{nl}x{nr}"] = {
             "bucket": {"nl": nl, "nr": nr, "nb": nb},
+            "banked_at": run_id,
             "poses_in_flight": poses,
             "steps": args.steps,
             "compile_s": round(r["compile_s"], 1),
@@ -616,6 +762,12 @@ def main():
             banked=banked,
         )
         _write_details(details)
+
+    if args.bank_refresh_k > 0:
+        _refresh_fine_bank(
+            pipeline, details, args, t_start, compile_hist, raw_compiles,
+            banked_compile, run_id, args.bank_refresh_k,
+        )
 
     if skipped_budget:
         print(
@@ -643,9 +795,9 @@ def main():
         for nl, nr, nb, poses in COVER_LADDER:
             if nr <= POCKET_CAPACITY:
                 continue
-            est = 1.2 * float(np.median(compile_hist[-3:])) + (
-                args.reps + 1
-            ) * modeled_batch_seconds(nl, nr, poses)
+            est = _est_compile_s(
+                (nl, nr), compile_hist, raw_compiles, banked_compile
+            ) + (args.reps + 1) * modeled_batch_seconds(nl, nr, poses)
             if time.time() - t_start + est > args.budget:
                 print(f"# budget: skipped pocket bucket {nl}x{nr}",
                       file=sys.stderr)
@@ -656,6 +808,7 @@ def main():
             )
             if "error" not in r:
                 compile_hist.append(max(60.0, r["compile_s"]))
+                raw_compiles.append(r["compile_s"])
             if not r["anomaly"]:
                 pocket_measured[(nl, nr, nb, poses)] = r[
                     "steady_s_per_batch"
@@ -669,6 +822,7 @@ def main():
             )
             details[f"pocket_{nl}x{nr}"] = {
                 "bucket": {"nl": nl, "nr": nr, "nb": nb},
+                "banked_at": run_id,
                 "poses_in_flight": poses,
                 "steps": args.steps,
                 "crop_beyond": POCKET_CROP_BEYOND,
@@ -765,9 +919,9 @@ def main():
             if entry in fine_measured:
                 continue
             nl, nr, nb, poses = entry
-            est = 1.2 * float(np.median(compile_hist[-3:])) + (
-                args.reps + 1
-            ) * modeled_batch_seconds(nl, nr, poses)
+            est = _est_compile_s(
+                entry, compile_hist, raw_compiles, banked_compile
+            ) + (args.reps + 1) * modeled_batch_seconds(nl, nr, poses)
             if time.time() - t_start + est > args.budget:
                 print(f"# budget: stopping fine plan before {nl}x{nr}",
                       file=sys.stderr)
@@ -778,6 +932,7 @@ def main():
             )
             if "error" not in r:
                 compile_hist.append(max(60.0, r["compile_s"]))
+                raw_compiles.append(r["compile_s"])
             if r["anomaly"]:
                 fine_anomalies.append(list(entry))
             else:
@@ -791,6 +946,7 @@ def main():
             )
             details[f"fineplan_{nl}x{nr}x{nb}_p{poses}"] = {
                 "bucket": {"nl": nl, "nr": nr, "nb": nb},
+                "banked_at": run_id,
                 "poses_in_flight": poses,
                 "complexes_served": len(plan[entry]),
                 "compile_s": round(r["compile_s"], 1),
@@ -825,6 +981,7 @@ def main():
             )
             details[name] = {
                 "bucket": {"nl": nl, "nr": nr, "nb": nb},
+                "banked_at": run_id,
                 "poses_in_flight": poses,
                 "compile_s": round(r["compile_s"], 1),
                 "steady_s_per_batch": round(r["steady_s_per_batch"], 3),
@@ -833,9 +990,10 @@ def main():
 
     # final (authoritative) line: partial if the budget cut the tail or
     # the cover plan was served from the bank instead of live
+    final_partial = bool(skipped_budget) or args.bank_cover
     _emit_headline(
         details, measured, quarantined,
-        partial=bool(skipped_budget) or args.bank_cover,
+        partial=final_partial,
         pocket_time=pocket_time,
         fine_pps=(
             details[
@@ -849,7 +1007,13 @@ def main():
         ),
         banked=banked,
     )
-    _write_details(details)
+    # a complete run also clears any stale rehearsal row left on disk by
+    # an earlier budget-cut run (the in-memory pop alone can't: the write
+    # merges disk-first)
+    _write_details(
+        details,
+        drop_prefixes=() if final_partial else ("weighted_rehearsal",),
+    )
     print("# wrote BENCH_DETAILS.json", file=sys.stderr)
 
 

@@ -190,7 +190,10 @@ def test_emit_headline_partial_line(capsys):
     assert line["partial"] is True
     assert line["value"] > 0
     assert line["measured_buckets"] == 1
-    assert details["weighted"]["partial"] is True
+    # a partial emission records the rehearsal row, NOT the committed
+    # complete-run headline record (ADVICE r4: provenance must not mix)
+    assert "weighted" not in details
+    assert details["weighted_rehearsal"]["partial"] is True
     # once 32x320 is in details the continuity field appears, and a full
     # measurement set emits partial=false
     details["cover_32x320"] = {"poses_per_sec": 20.0}
@@ -202,6 +205,86 @@ def test_emit_headline_partial_line(capsys):
     assert line["partial"] is False
     assert line["best_bucket_poses_per_sec"] == 20.0
     assert line["model_filled_complexes"] == 0
+    # the complete emission writes the committed record and clears the
+    # in-memory rehearsal row
+    assert details["weighted"]["partial"] is False
+    assert "weighted_rehearsal" not in details
+
+
+def test_est_compile_gate_bounded_by_banked_worst_when_cold():
+    """ADVICE r4 (medium): the adaptive median underestimated a 515 s
+    cold compile >3x. In the cold regime the gate must take the worst
+    banked compile for the SAME bucket; once recent observed compiles are
+    cache-load fast, the worst-ever bound would starve the gate and must
+    NOT apply."""
+    entry = (56, 384, 16, 40)
+    banked = {(56, 384): 515.0}
+    # cold: no observed compile yet
+    est = bench._est_compile_s(entry, [120.0], [], banked)
+    assert est == 515.0
+    # still cold: last observed compile was a real (slow) compile
+    est = bench._est_compile_s(entry, [120.0, 118.0], [118.0], banked)
+    assert est == 515.0
+    # warm: recent compiles were persistent-cache loads
+    est = bench._est_compile_s(entry, [120.0, 60.0, 60.0], [8.0, 9.0],
+                               banked)
+    assert est < 100.0
+    # unknown bucket: adaptive estimate regardless
+    est = bench._est_compile_s((32, 320, 16, 40), [120.0], [], banked)
+    assert est == 1.2 * 120.0
+
+
+def test_bank_refresh_demotes_stale_row(tmp_path, monkeypatch, capsys):
+    """VERDICT r4 ask #4: a banked fineplan row whose re-measurement
+    drifts >10% is overwritten with the fresh value and flagged; a
+    fresh-within-tolerance row gains drift provenance only."""
+    import argparse
+    import time as _time
+
+    rows = {
+        "fineplan_32x320x8_p40": {
+            "bucket": {"nl": 32, "nr": 320, "nb": 8},
+            "poses_in_flight": 40, "complexes_served": 30,
+            "compile_s": 100.0, "steady_s_per_batch": 2.0,
+            "poses_per_sec": 20.0,
+        },
+        "fineplan_16x192x4_p40": {
+            "bucket": {"nl": 16, "nr": 192, "nb": 4},
+            "poses_in_flight": 40, "complexes_served": 5,
+            "compile_s": 80.0, "steady_s_per_batch": 1.0,
+            "poses_per_sec": 40.0,
+        },
+    }
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "BENCH_DETAILS.json").write_text(json.dumps(rows))
+
+    def fake_bench(pipeline, nl, nr, nb, poses, **kw):
+        # top-weight row (32x320) drifts 2.0 -> 3.0 (+50%); the other
+        # would be fresh, but k=1 must only re-measure the top row
+        return {"poses_per_sec": poses / 3.0, "steady_s_per_batch": 3.0,
+                "compile_s": 9.0, "anomaly": False,
+                "model_s_per_batch": 2.0}
+
+    monkeypatch.setattr(bench, "_bench_bucket", fake_bench)
+    args = argparse.Namespace(reps=2, budget=1e9, anomaly_factor=5.0)
+    details = {}
+    drifts = bench._refresh_fine_bank(
+        None, details, args, _time.time(), [120.0], [], {}, "run-X", k=1,
+    )
+    assert len(drifts) == 1
+    assert drifts[0]["key"] == "fineplan_32x320x8_p40"
+    assert drifts[0]["demoted"] is True
+    row = details["fineplan_32x320x8_p40"]
+    assert row["steady_s_per_batch"] == 3.0      # demoted = overwritten
+    assert row["demoted_stale_value"] == 2.0
+    assert row["drift_vs_bank"] == 0.5
+    assert row["banked_at"] == "run-X"
+    assert row["complexes_served"] == 30         # provenance fields kept
+    assert "DEMOTED" in capsys.readouterr().err
+    # the audit summary landed on disk for the artifact
+    disk = json.loads((tmp_path / "BENCH_DETAILS.json").read_text())
+    assert disk["bank_refresh"]["rows"][0]["demoted"] is True
+    assert "fineplan_16x192x4_p40" in disk  # untouched row survives merge
 
 
 def test_bench_bucket_safe_records_failure(monkeypatch):
