@@ -108,10 +108,26 @@ def _score_head(model, scfg, pocket_capacity):
     return head
 
 
+def _auto_confidence_chunk(nl: int, n_nodes: int, num_poses: int) -> int:
+    """HBM-bounded pose-chunk for the confidence forward.
+
+    The all-atom confidence architectures (the reference's shipped default,
+    ``inference.py:84`` old_confidence_model) build dense ``(nl, n_atoms)``
+    cross blocks plus ``(n_atoms, K)`` atom-graph blocks PER POSE; vmapping
+    all P final poses at once OOMs the chip at large buckets (observed:
+    40 poses x 5120 atoms, 8 x 18432). Budget ~1.5 GB of per-pose
+    temporaries (empirical coefficients from scripts/probe_confidence.py)
+    and evaluate poses in ``lax.map`` chunks of this size. Shapes are
+    static under jit, so the chunk is resolved at trace time and each
+    padded bucket gets its own right-sized program."""
+    per_pose_bytes = 500 * nl * n_nodes + 15_000 * n_nodes
+    return max(1, min(num_poses, int(1.5e9 // max(per_pose_bytes, 1))))
+
+
 @functools.lru_cache(maxsize=256)
 def _make_run(score_model, score_cfg, sampler_cfg, confidence_model,
               confidence_cfg, pocket_capacity, num_poses: int,
-              with_aa: bool, with_traj: bool):
+              with_aa: bool, with_traj: bool, conf_chunk=None):
     """The full docking program for one padded complex: receptor embed +
     initialization + reverse diffusion + confidence scoring.
 
@@ -204,12 +220,36 @@ def _make_run(score_model, score_cfg, sampler_cfg, confidence_model,
                     method="embed_receptor",
                 )
             )
-            out = jax.vmap(
-                lambda p: confidence_model.apply(
+            def conf_fwd(p):
+                return confidence_model.apply(
                     confidence_params, conf_data, p, jnp.asarray(0.0),
                     so3, torus, rec_cache=conf_cache, **conf_kw,
                 )
-            )(final)
+
+            n_nodes = (
+                conf_data.atom_pos.shape[0] if with_aa
+                else conf_data.rec_pos.shape[0]
+            )
+            c = (
+                _auto_confidence_chunk(final.shape[1], n_nodes, num_poses)
+                if conf_chunk is None else min(conf_chunk, num_poses)
+            )
+            if c >= num_poses:
+                out = jax.vmap(conf_fwd)(final)
+            else:
+                # lax.map over pose chunks bounds the dense cross-block
+                # temporaries to c poses at a time (see
+                # _auto_confidence_chunk); pad the pose axis up to a
+                # multiple of c with repeats and drop the extras after
+                pad = (-num_poses) % c
+                fin = (
+                    jnp.concatenate([final, final[:pad]]) if pad else final
+                )
+                out = jax.lax.map(
+                    jax.vmap(conf_fwd),
+                    fin.reshape((-1, c) + final.shape[1:]),
+                )
+                out = out.reshape((-1,) + out.shape[2:])[:num_poses]
             conf = jnp.nan_to_num(out[..., 0], nan=-1000.0)
             if ccfg.affinity_prediction:
                 if ccfg.old_architecture:
@@ -255,6 +295,7 @@ class DockingPipeline:
         bucket_ladder: str = "fine",
         mesh: Optional["jax.sharding.Mesh"] = None,
         anomaly_guard: Optional[float] = None,
+        confidence_chunk: Optional[int] = None,
     ):
         """``pre_crop_radius``: host-side receptor shrink before padding —
         drops residues farther than this from any input-ligand atom so large
@@ -325,6 +366,9 @@ class DockingPipeline:
             build_model(confidence_cfg) if confidence_cfg is not None else None
         )
         self.confidence_params = confidence_params
+        # pose-chunk for the confidence forward; None = HBM-auto per
+        # bucket (_auto_confidence_chunk)
+        self.confidence_chunk = confidence_chunk
         self.so3 = so3_tables if so3_tables is not None else get_so3_tables()
         self.torus = torus_tables if torus_tables is not None else get_torus_tables()
         if mesh is not None:
@@ -361,6 +405,7 @@ class DockingPipeline:
             self.score_model, self.score_cfg, self.sampler_cfg,
             self.confidence_model, self.confidence_cfg,
             self.pocket_capacity, num_poses, bool(with_aa), bool(with_traj),
+            self.confidence_chunk,
         )
 
     def _sharded_program(self, num_poses: int, with_aa: bool,

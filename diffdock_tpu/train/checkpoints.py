@@ -35,7 +35,13 @@ def _cfg_from_dict(d: Dict[str, Any]) -> ScoreModelConfig:
     if isinstance(sigma, dict):
         d["sigma"] = SigmaConfig(**sigma)
     known = {f.name for f in dataclasses.fields(ScoreModelConfig)}
-    return ScoreModelConfig(**{k: v for k, v in d.items() if k in known})
+    # YAML round-trips tuples as lists; the config must stay hashable
+    # (flax modules are jit-static, and an unhashable cfg breaks every
+    # jit of a checkpoint-loaded model)
+    return ScoreModelConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in d.items() if k in known
+    })
 
 
 def save_checkpoint(

@@ -77,12 +77,23 @@ def main():
     )
     print(f"# init: {time.time() - t0:.1f}s", file=sys.stderr)
 
+    from diffdock_tpu.inference.pipeline import _auto_confidence_chunk
+
     @jax.jit
     def conf_forward(params, aa, poses):
-        return jax.vmap(
-            lambda p: model.apply(params, aa, p, jnp.asarray(0.0), so3,
-                                  torus)
-        )(poses)
+        # mirror the pipeline's confidence branch exactly: HBM-auto pose
+        # chunk, lax.map over chunks (pipeline.py _make_run)
+        P, nl = poses.shape[0], poses.shape[1]
+        na = aa.atom_pos.shape[0]
+        c = _auto_confidence_chunk(nl, na, P)
+        fwd = lambda p: model.apply(params, aa, p, jnp.asarray(0.0), so3,
+                                    torus)
+        if c >= P:
+            return jax.vmap(fwd)(poses)
+        pad = (-P) % c
+        pp = jnp.concatenate([poses, poses[:pad]]) if pad else poses
+        out = jax.lax.map(jax.vmap(fwd), pp.reshape((-1, c) + poses.shape[1:]))
+        return out.reshape((-1,) + out.shape[2:])[:P]
 
     rows = {}
     for nl, nr, nb, P in PROBES:
@@ -109,6 +120,7 @@ def main():
             steady = float(np.mean(reps))
             rows[f"{nl}x{nr}"] = {
                 "na": na, "poses": P,
+                "chunk": _auto_confidence_chunk(nl, na, P),
                 "compile_s": round(compile_s, 1),
                 "steady_s_per_batch": round(steady, 4),
                 "s_per_pose": round(steady / P, 5),

@@ -72,6 +72,21 @@ def test_pipeline_aa_confidence(setup):
     # order sorts confidence descending
     assert (np.diff(res.confidence[res.order]) <= 1e-6).all()
 
+    # chunked confidence (lax.map over pose chunks — the HBM-bounded path
+    # large all-atom buckets take) must reproduce the full-vmap scores
+    # exactly: same poses (identical sampler), same confidences
+    chunked = DockingPipeline(
+        score_cfg, sp, SamplerConfig(inference_steps=2, actual_steps=2),
+        confidence_cfg=conf_cfg, confidence_params=cp,
+        so3_tables=so3, torus_tables=torus, confidence_chunk=2,
+    )
+    res_c = chunked.dock_complex(aa.base, num_poses=3, seed=0, aa_data=aa)
+    np.testing.assert_allclose(res_c.poses, res.poses, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        res_c.confidence, res.confidence, rtol=1e-5, atol=1e-5
+    )
+    assert (res_c.order == res.order).all()
+
 
 def test_pipeline_affinity_prediction(setup):
     so3, torus, aa, score_cfg, sp = setup

@@ -367,6 +367,11 @@ def test_import_weights_cli_end_to_end(tmp_path):
 
     variables, cfg, _ = load_checkpoint(str(out))
     assert cfg.ns == 8
+    # YAML round-trip must keep the config hashable (tuples, not lists) —
+    # flax modules are jit-static, so an unhashable cfg breaks every jit
+    # of a checkpoint-loaded model
+    hash(cfg)
+    assert isinstance(cfg.parallel_aggregators, tuple)
 
     model = CGScoreModel(cfg)
     r = np.random.RandomState(0)
