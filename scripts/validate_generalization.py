@@ -72,6 +72,20 @@ TRAIN_POSE_SETS = int(os.environ.get("GEN_TRAIN_SETS", 2))  # 32 per train cx
 CONF_EPOCHS = int(os.environ.get("GEN_CONF_EPOCHS", 150))
 FOLDS = os.environ.get("GEN_FOLDS")  # e.g. "6w70,1a46" to run a subset
 
+# Van-der-Mers augmentation (VERDICT r4 ask #3; reference
+# ``datasets/pdb.py:150-537`` + combined training ``loader.py:30-122``):
+# mint GEN_VDM sidechain pseudo-ligand complexes per fold from the
+# TRAINING receptors only (held-out receptor excluded — no pocket
+# leakage) and mix GEN_VDM_PER_BATCH of them into every 5-complex train
+# batch. 0 (default) reproduces the unaugmented gate exactly.
+N_VDM = int(os.environ.get("GEN_VDM", 0))
+VDM_PER_BATCH = int(os.environ.get("GEN_VDM_PER_BATCH", 2))
+GATE_OUT = os.environ.get(
+    "GEN_OUT",
+    "results/generalization_gate_vdm.json" if N_VDM
+    else "results/generalization_gate.json",
+)
+
 # ---------------------------------------------------------------- load
 datas, mols = {}, {}
 for n in NAMES:
@@ -95,7 +109,19 @@ cfg = training_model_config(
     data_parallel=False)
 model = build_model(cfg)
 tc = TrainConfig(lr=1e-3)
-step = jax.jit(make_train_step(model, tc, so3, torus))
+_train_step_fn = make_train_step(model, tc, so3, torus)
+step = jax.jit(_train_step_fn)
+
+
+@jax.jit
+def aug_step(state, pool, idx, key):
+    """Van-der-Mers combined-training step: gather a 5-complex batch from
+    the device-resident candidate pool (traced, so the pool never leaves
+    HBM and no per-leaf eager dispatch pays the axon round-trip)."""
+    sel = jax.tree.map(lambda x: x[idx], pool)
+    return _train_step_fn(state, sel, key)
+
+
 infer_cfg = dataclasses.replace(cfg, bn_axis_names=())
 
 tcfg = ConfidenceTrainConfig(rmsd_classification_cutoff=(2.0,), lr=1e-3)
@@ -119,6 +145,47 @@ def conf_scores_fn(cparams, cstats, data, poses):
 
 
 conf_scores_fn = jax.jit(conf_scores_fn)
+
+
+def mint_vdm_complexes(train_names, seed, count):
+    """Sidechain pseudo-ligand complexes from the training receptors,
+    pocket-cropped and padded to the fold's shared bucket so the SAME
+    compiled train step serves them (no new programs)."""
+    import shutil
+    import tempfile
+
+    from diffdock_tpu.data.pdb_sidechain import (
+        PDBSidechainConfig,
+        PDBSidechainDataset,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="vdm_")
+    try:
+        for n in train_names:
+            shutil.copy(
+                f"{EX}/{PROT.get(n, n + '_protein_processed.pdb')}",
+                os.path.join(tmp, n + ".pdb"),
+            )
+        ds = PDBSidechainDataset(PDBSidechainConfig(
+            data_dir=tmp, cache_dir=os.path.join(tmp, "cache"),
+            remove_second_segment=True,
+        ))
+        ds.preprocess(verbose=False)
+        rng = np.random.RandomState(seed)
+        out, tries = [], 0
+        while len(out) < count and tries < count * 8:
+            tries += 1
+            item = ds.get(int(rng.randint(1 << 30)), rng)
+            if item is None:
+                continue
+            _, d = item
+            d = pocket_crop_complex(d, POCKET)
+            if d.n_lig > NL or d.n_rec > NR or d.n_bonds > NB:
+                continue
+            out.append(pad_to(d, NL, NR, NB))
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def true_pocket_center(data_real):
@@ -158,6 +225,7 @@ gate = {"folds": {}, "config": {
     "train_steps": N_TRAIN_STEPS, "held_poses": HELD_POSE_SETS * N_POSES,
     "train_poses_per_complex": TRAIN_POSE_SETS * N_POSES,
     "pocket_residues": POCKET, "conf_epochs": CONF_EPOCHS,
+    "vdm_per_fold": N_VDM, "vdm_per_batch": VDM_PER_BATCH if N_VDM else 0,
 }}
 
 for fold_i, held in enumerate(fold_names):
@@ -172,6 +240,24 @@ for fold_i, held in enumerate(fold_names):
     batch = jax.tree.map(
         lambda *xs: jnp.stack(xs),
         *[jax.tree.map(jnp.asarray, padded[n]) for n in train_names])
+
+    vdm_pool = (
+        mint_vdm_complexes(train_names, 1000 + fold_i, N_VDM)
+        if N_VDM else []
+    )
+    if N_VDM:
+        print(f"  van-der-Mers pool: {len(vdm_pool)} pseudo-complexes "
+              f"({VDM_PER_BATCH}/batch)", flush=True)
+        # device-resident candidate pool (5 real + minted, all the same
+        # padded bucket); per-step batch selection is a traced gather
+        # INSIDE the jitted aug_step — no eager per-leaf dispatches over
+        # the axon tunnel
+        pool = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *([jax.tree.map(jnp.asarray, padded[n]) for n in train_names]
+              + [jax.tree.map(jnp.asarray, p) for p in vdm_pool]))
+        rng_vdm = np.random.RandomState(500 + fold_i)
+
     stages = [(1.0, int(N_TRAIN_STEPS * 0.5)),
               (0.3, int(N_TRAIN_STEPS * 0.3)),
               (0.1, N_TRAIN_STEPS - int(N_TRAIN_STEPS * 0.5)
@@ -181,8 +267,18 @@ for fold_i, held in enumerate(fold_names):
     for scale, n_steps in stages:
         state = state.replace(lr_scale=jnp.asarray(scale, jnp.float32))
         for _ in range(n_steps):
-            state, m = step(state, batch,
-                            jax.random.PRNGKey(fold_i * 10 ** 6 + i_global))
+            key = jax.random.PRNGKey(fold_i * 10 ** 6 + i_global)
+            if N_VDM and vdm_pool:
+                k = min(VDM_PER_BATCH, len(vdm_pool))
+                idx = np.concatenate([
+                    rng_vdm.choice(5, 5 - k, replace=False),
+                    5 + rng_vdm.choice(len(vdm_pool), k),
+                ])
+                state, m = aug_step(
+                    state, pool, jnp.asarray(idx, jnp.int32), key
+                )
+            else:
+                state, m = step(state, batch, key)
             i_global += 1
             if i_global % 1000 == 0:
                 print(f"  step {i_global}: loss {float(m['loss']):.4f}",
@@ -302,7 +398,7 @@ for fold_i, held in enumerate(fold_names):
 
     gate["folds"][held] = row
     os.makedirs("results", exist_ok=True)
-    with open("results/generalization_gate.json", "w") as f:
+    with open(GATE_OUT, "w") as f:
         json.dump(gate, f, indent=2)
 
 rows = list(gate["folds"].values())
@@ -329,6 +425,6 @@ if rows:
           f"confidence top-1 {gate['confidence_top1_success']:.2f} vs "
           f"random {gate['confidence_random_success']:.2f}", flush=True)
 
-with open("results/generalization_gate.json", "w") as f:
+with open(GATE_OUT, "w") as f:
     json.dump(gate, f, indent=2)
 print(json.dumps({k: v for k, v in gate.items() if k != "folds"}, indent=2))

@@ -94,7 +94,7 @@ def test_weight_order_covers_ladder_and_descends():
 
 def test_weighted_plan_model_fill_and_measured_agree():
     # with NO measurements the plan is fully model-filled ...
-    t_model, poses, filled, pad, _ = bench._weighted_plan({}, set())
+    t_model, poses, filled, pad, _, _ = bench._weighted_plan({}, set())
     assert poses == 150 * 40
     assert filled == 150
     assert pad > 1.0
@@ -103,7 +103,7 @@ def test_weighted_plan_model_fill_and_measured_agree():
     measured = {
         e: modeled_batch_seconds(e[0], e[1], e[3]) for e in COVER_LADDER
     }
-    t_meas, _, filled2, _, _ = bench._weighted_plan(measured, set())
+    t_meas, _, filled2, _, _, _ = bench._weighted_plan(measured, set())
     assert filled2 == 0
     assert abs(t_meas - t_model) < 1e-9
 
@@ -115,17 +115,17 @@ def test_weighted_plan_banked_fill_beats_model_fill():
     banked = {
         e: modeled_batch_seconds(e[0], e[1], e[3]) for e in COVER_LADDER
     }
-    t_b, poses, filled, _, banked_filled = bench._weighted_plan(
+    t_b, poses, filled, _, banked_filled, _ = bench._weighted_plan(
         {}, set(), banked
     )
     assert filled == 0 and banked_filled == 150
     # live measurement wins over banked
     live_entry = COVER_LADDER[0]
     measured = {live_entry: 0.5 * banked[live_entry]}
-    t_m, _, _, _, bf2 = bench._weighted_plan(measured, set(), banked)
+    t_m, _, _, _, bf2, _ = bench._weighted_plan(measured, set(), banked)
     assert t_m < t_b and bf2 < 150
     # a quarantined entry is never filled from the bank
-    t_q, _, _, _, _ = bench._weighted_plan({}, {live_entry}, banked)
+    t_q, _, _, _, _, _ = bench._weighted_plan({}, {live_entry}, banked)
     assert t_q > t_b
 
 
@@ -133,9 +133,9 @@ def test_weighted_plan_quarantine_reroutes_and_costs_more():
     measured = {
         e: modeled_batch_seconds(e[0], e[1], e[3]) for e in COVER_LADDER
     }
-    t0, _, _, _, _ = bench._weighted_plan(measured, set())
+    t0, _, _, _, _, _ = bench._weighted_plan(measured, set())
     bad = (16, 640, 16, 40)  # small-ligand express lane (cf. the round-3 16x704 anomaly)
-    t1, _, _, _, _ = bench._weighted_plan(measured, {bad})
+    t1, _, _, _, _, _ = bench._weighted_plan(measured, {bad})
     # re-routing to the next covering entry is slower but bounded
     assert t0 < t1 < 1.25 * t0
 
@@ -144,12 +144,12 @@ def test_weighted_plan_survives_total_quarantine():
     """Quarantining EVERY cover entry must not crash the artifact: the
     plan falls back to each complex's fine bucket (the pipeline's own
     cov=None behavior)."""
-    t, poses, filled, pad, _ = bench._weighted_plan({}, set(COVER_LADDER))
+    t, poses, filled, pad, _, _ = bench._weighted_plan({}, set(COVER_LADDER))
     assert poses == 150 * 40
     assert filled == 150
     assert t > 0 and pad >= 1.0
     # the fine-bucket fallback pads less than the cover plan
-    _, _, _, cover_pad, _ = bench._weighted_plan({}, set())
+    _, _, _, cover_pad, _, _ = bench._weighted_plan({}, set())
     assert pad < cover_pad
 
 
@@ -302,3 +302,61 @@ def test_bench_bucket_safe_records_failure(monkeypatch):
     assert r["anomaly"] is True
     assert "hbm" in r["error"]
     _json.dumps(r)  # JSON-safe (no inf/nan sentinels)
+
+
+def test_conf_cost_fn_exact_fit_and_seed():
+    """Per-pose confidence cost: exact banked row first; a live lstsq fit
+    over >=3 rows for unmeasured buckets; the probe-seeded fit when the
+    bank is thin; never below the dispatch floor."""
+    # thin bank -> seeded fit reproduces the probe points it was fit to
+    cost = bench._conf_cost_fn({})
+    assert abs(cost(32, 384) - 0.02024) < 2e-3
+    assert abs(cost(96, 2304) - 0.34425) < 2e-2
+    # tiny bucket would extrapolate negative -> floored
+    assert cost(8, 16) == bench._CONF_FLOOR_S
+
+    # exact row wins over any fit
+    rows = {(32, 384): 0.05, (16, 640): 0.06, (96, 2304): 0.5}
+    cost = bench._conf_cost_fn(rows)
+    assert cost(32, 384) == 0.05
+    # unmeasured bucket comes from the live fit over the 3 rows (well
+    # away from the seeded values)
+    assert cost(40, 704) > 0.03
+
+
+def test_weighted_plan_charges_confidence():
+    measured = {
+        e: modeled_batch_seconds(e[0], e[1], e[3]) for e in COVER_LADDER
+    }
+    t0, poses, _, _, _, c0 = bench._weighted_plan(measured, set())
+    assert c0 == 0.0
+    flat = lambda nl, nr: 0.01  # 10 ms/pose everywhere
+    t1, _, _, _, _, c1 = bench._weighted_plan(
+        measured, set(), conf_cost=flat
+    )
+    # 150 complexes x 40 poses x 10 ms = 60 s, additive
+    assert abs(c1 - 60.0) < 1e-6
+    assert abs(t1 - (t0 + 60.0)) < 1e-6
+
+
+def test_emit_headline_confidence_fields(capsys):
+    measured = {
+        e: modeled_batch_seconds(e[0], e[1], e[3]) for e in COVER_LADDER
+    }
+    details = {}
+    bench._emit_headline(details, measured, set(), partial=False,
+                         conf_cost=lambda nl, nr: 0.01)
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["includes_confidence"] is True
+    row = details["weighted"]
+    assert row["includes_confidence"] is True
+    assert row["confidence_forward_s"] == 60.0
+    # the score-only continuity number is the pre-round-5 definition
+    assert row["poses_per_sec_score_only"] > row["poses_per_sec"]
+    assert line["poses_per_sec_score_only"] == row["poses_per_sec_score_only"]
+    # and without conf_cost the fields are absent / flagged false
+    details2 = {}
+    bench._emit_headline(details2, measured, set(), partial=False)
+    line2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line2["includes_confidence"] is False
+    assert "confidence_forward_s" not in details2["weighted"]
