@@ -95,6 +95,10 @@ def get_parser():
     p.add_argument("--out_dir", default="results/evaluation")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cache_path", default="data/cache_tpu")
+    p.add_argument("--esm_embeddings_path", default=None,
+                   help="directory of precomputed per-complex LM "
+                        "embedding .npy files (reference "
+                        "evaluate.py:110)")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     # gnina rescoring in the loop (reference evaluate.py:166-172,434-472)
@@ -331,6 +335,7 @@ def main(argv=None):
             args.data_dir, args.split,
             protein_suffix=f"_{protein_stem}.pdb",
             ligand_suffix=f"_{ligand_stem}.sdf",
+            esm_embeddings_dir=args.esm_embeddings_path,
         )
         if args.limit_complexes:
             specs = specs[: args.limit_complexes]
