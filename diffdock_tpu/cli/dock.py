@@ -193,7 +193,13 @@ def load_pipeline(args):
             file=sys.stderr,
         )
         cfg = PRESETS[args.model_preset]
-        if cfg.lm_embedding_dim:
+        # drop the LM feature block only when no embeddings are available
+        # (random-weight smokes without ESM); with a precomputed
+        # embeddings dir the TRUE preset runs, so timings/programs match
+        # the real model (and prewarm/bench's banked programs)
+        if cfg.lm_embedding_dim and not getattr(
+            args, "esm_embeddings_path", None
+        ):
             import dataclasses
 
             cfg = dataclasses.replace(cfg, lm_embedding_dim=0)
@@ -203,7 +209,8 @@ def load_pipeline(args):
         import jax.numpy as jnp
 
         model = CGScoreModel(cfg)
-        d = synthetic_complex(np.random.RandomState(0))
+        d = synthetic_complex(np.random.RandomState(0),
+                              lm_dim=cfg.lm_embedding_dim)
         params = jax.jit(model.init)(
             jax.random.PRNGKey(0), jax.tree.map(jnp.asarray, d),
             jnp.asarray(d.lig_pos), jnp.asarray(0.5),

@@ -273,6 +273,7 @@ def main(argv=None):
         crop_beyond=args.crop_beyond,
         pocket_capacity=args.pocket_capacity,
         bucket_ladder=args.bucket_ladder,
+        esm_embeddings_path=args.esm_embeddings_path,
         # one 1-axis mesh serves either sharding layout: poses within a
         # complex (--pose_devices) or one complex per device
         # (--complex_devices, used by dock_batch below)

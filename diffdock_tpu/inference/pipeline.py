@@ -490,8 +490,47 @@ class DockingPipeline:
         return out
 
     # ------------------------------------------------------------------
+    LIG_BOND_K = 4  # canonical bond-neighbor width at inference
+
+    def _normalize_inference_data(self, data):
+        """Program-identity normalization (round-5 e2e finding): real
+        featurized complexes carried fields that retrace/recompile every
+        bucket program relative to the synthetic ones ``prewarm`` and
+        bench measure — a full sweep was paying minutes-long cold
+        compiles for programs that were already banked.
+
+        - ``rec_scv`` is a sidechain-loss TARGET (train/losses.py:45-56);
+          the score forward never reads it. Dropping it at the inference
+          boundary unifies program identity and stops shipping (NR, 10)
+          dead floats per call.
+        - ``featurize`` pads ``lig_bond_nbr`` to the molecule's own max
+          bond degree; molecules with max degree < 4 would each trace
+          their own program. Pad to the canonical K=4 (masked entries)."""
+        changed = {}
+        if data.rec_scv is not None:
+            changed["rec_scv"] = None
+        k = data.lig_bond_nbr.shape[1]
+        if k < self.LIG_BOND_K:
+            pad = self.LIG_BOND_K - k
+            changed["lig_bond_nbr"] = np.pad(
+                np.asarray(data.lig_bond_nbr), ((0, 0), (0, pad))
+            )
+            changed["lig_bond_mask"] = np.pad(
+                np.asarray(data.lig_bond_mask), ((0, 0), (0, pad))
+            )
+            changed["lig_bond_attr"] = np.pad(
+                np.asarray(data.lig_bond_attr),
+                ((0, 0), (0, pad), (0, 0)),
+            )
+        return data._replace(**changed) if changed else data
+
     def _pre_crop_host(self, data, aa_data):
         """Host-side receptor shrink before padding (see ``__init__``)."""
+        norm = self._normalize_inference_data(data)
+        if norm is not data:
+            data = norm
+            if aa_data is not None:
+                aa_data = aa_data._replace(base=data)
         if self.pre_crop_radius is None:
             return data, aa_data
         keep = np.asarray(

@@ -130,3 +130,42 @@ def test_pipeline_trajectory(setup, tmp_path):
         w.add(frame)
     text = w.to_pdb()
     assert text.count("MODEL") == 4 and text.count("ENDMDL") == 4
+
+
+def test_inference_normalization_unifies_program_identity(setup):
+    """Round-5 e2e finding: real featurized complexes carry rec_scv (a
+    training-only sidechain target) and a molecule-specific bond-neighbor
+    width, which retraced/recompiled every bucket program relative to the
+    synthetic ones prewarm/bench measure. The pipeline must normalize
+    both at the dock boundary — same traced pytree, same results."""
+    import jax
+
+    so3, torus, aa, score_cfg, sp = setup
+    pipe = DockingPipeline(
+        score_cfg, sp, SamplerConfig(inference_steps=2, actual_steps=2),
+        so3_tables=so3, torus_tables=torus,
+    )
+    clean = aa.base
+
+    # a "featurized-style" variant: rec_scv present, bond width 3
+    messy = clean._replace(
+        rec_scv=np.zeros((clean.rec_pos.shape[0], 10), np.float32),
+        lig_bond_nbr=np.asarray(clean.lig_bond_nbr)[:, :3],
+        lig_bond_mask=np.asarray(clean.lig_bond_mask)[:, :3],
+        lig_bond_attr=np.asarray(clean.lig_bond_attr)[:, :3],
+    )
+    norm = pipe._normalize_inference_data(messy)
+    assert norm.rec_scv is None
+    assert norm.lig_bond_nbr.shape[1] == pipe.LIG_BOND_K
+    assert jax.tree.structure(norm) == jax.tree.structure(clean)
+    assert [np.asarray(a).shape for a in jax.tree.leaves(norm)] == [
+        np.asarray(a).shape for a in jax.tree.leaves(clean)
+    ]
+
+    # end to end: identical results and no second compiled program
+    r_clean = pipe.dock_complex(clean, num_poses=2, seed=0)
+    n_programs = len(pipe._compiled) + len(pipe._executables)
+    r_messy = pipe.dock_complex(messy, num_poses=2, seed=0)
+    assert len(pipe._compiled) + len(pipe._executables) == n_programs
+    np.testing.assert_allclose(r_messy.poses, r_clean.poses,
+                               rtol=1e-6, atol=1e-6)
