@@ -1012,10 +1012,15 @@ def main():
         _write_details(details)
 
     if args.bank_refresh_k > 0:
-        _refresh_fine_bank(
+        refreshed = _refresh_fine_bank(
             pipeline, details, args, t_start, compile_hist, raw_compiles,
             banked_compile, run_id, args.bank_refresh_k,
         )
+        if refreshed:
+            # the bucket->steady map was loaded before the cover loop;
+            # refreshed/demoted rows must reach the FINAL authoritative
+            # headline too, not just the disk artifact (r5 review)
+            banked = _banked_steady(args.steps)
 
     if not args.no_confidence:
         _, weights_all = _churn_weight_order()

@@ -102,16 +102,22 @@ class ComplexDataset:
         self.cfg = cfg
         self.cache = Path(cfg.cache_dir) / f"complexes_{cfg.cache_key()}"
         self.cache.mkdir(parents=True, exist_ok=True)
+        self._by_name = {s.name: s for s in self.specs}
         self._ok: List[ComplexSpec] = []
         self._failures: Dict[str, str] = {}
 
-    def _path(self, name: str) -> Path:
-        return self.cache / f"{name}.npz"
+    def _path(self, spec: ComplexSpec) -> Path:
+        # LM-embedding presence changes the featurized rec_lm width, so it
+        # must be part of the shard identity — otherwise a cache built
+        # without --esm_embeddings_path silently serves dim-0 rec_lm (and
+        # vice versa) when the flag changes between runs
+        suffix = "__lm.npz" if spec.lm_embedding_path else ".npz"
+        return self.cache / f"{spec.name}{suffix}"
 
     def preprocess(self, num_workers: int = 0, verbose: bool = True) -> None:
         """Featurize all complexes (idempotent; failures skip-and-continue,
         matching the reference's fault tolerance, ``pdbbind.py:387-390``)."""
-        todo = [s for s in self.specs if not self._path(s.name).exists()]
+        todo = [s for s in self.specs if not self._path(s).exists()]
         if num_workers > 1 and todo:
             import multiprocessing as mp
 
@@ -129,7 +135,7 @@ class ComplexDataset:
                         print(f"[dataset] {spec.name} failed: {err}")
         self._ok = [
             s for s in self.specs
-            if self._path(s.name).exists() and s.name not in self._failures
+            if self._path(s).exists() and s.name not in self._failures
         ]
 
     def _preprocess_one_safe(self, spec: ComplexSpec) -> Optional[str]:
@@ -169,7 +175,7 @@ class ComplexDataset:
             raise ValueError(f"ligand too small: {base.n_lig}")
         if self.cfg.max_receptor_size and base.n_rec > self.cfg.max_receptor_size:
             raise ValueError(f"receptor too large: {base.n_rec}")
-        save_complex_npz(str(self._path(spec.name)), data)
+        save_complex_npz(str(self._path(spec)), data)
 
     # -- access --------------------------------------------------------
     def __len__(self) -> int:
@@ -180,7 +186,7 @@ class ComplexDataset:
         return [s.name for s in self._ok]
 
     def get(self, name: str) -> ComplexData:
-        return load_complex_npz(str(self._path(name)))
+        return load_complex_npz(str(self._path(self._by_name[name])))
 
     def print_statistics(self) -> dict:
         """Dataset geometry statistics at load time (reference

@@ -368,6 +368,11 @@ class DockingPipeline:
         self.confidence_params = confidence_params
         # pose-chunk for the confidence forward; None = HBM-auto per
         # bucket (_auto_confidence_chunk)
+        if confidence_chunk is not None and confidence_chunk < 1:
+            raise ValueError(
+                f"confidence_chunk must be >= 1 (got {confidence_chunk}); "
+                "use None for HBM-auto chunking"
+            )
         self.confidence_chunk = confidence_chunk
         self.so3 = so3_tables if so3_tables is not None else get_so3_tables()
         self.torus = torus_tables if torus_tables is not None else get_torus_tables()
@@ -490,39 +495,21 @@ class DockingPipeline:
         return out
 
     # ------------------------------------------------------------------
-    LIG_BOND_K = 4  # canonical bond-neighbor width at inference
-
     def _normalize_inference_data(self, data):
         """Program-identity normalization (round-5 e2e finding): real
-        featurized complexes carried fields that retrace/recompile every
-        bucket program relative to the synthetic ones ``prewarm`` and
-        bench measure — a full sweep was paying minutes-long cold
-        compiles for programs that were already banked.
-
-        - ``rec_scv`` is a sidechain-loss TARGET (train/losses.py:45-56);
-          the score forward never reads it. Dropping it at the inference
-          boundary unifies program identity and stops shipping (NR, 10)
-          dead floats per call.
-        - ``featurize`` pads ``lig_bond_nbr`` to the molecule's own max
-          bond degree; molecules with max degree < 4 would each trace
-          their own program. Pad to the canonical K=4 (masked entries)."""
-        changed = {}
+        featurized complexes carry ``rec_scv`` — a sidechain-loss TARGET
+        (train/losses.py:45-56) the score forward never reads — which
+        retraced/recompiled every bucket program relative to the
+        synthetic ones ``prewarm`` and bench measure, so a full sweep
+        paid minutes-long cold compiles for programs that were already
+        banked. Dropping it at the inference boundary unifies program
+        identity and stops shipping (NR, 10) dead floats per call.
+        (The other data-dependent width, ``lig_bond_nbr``'s max bond
+        degree, is already normalized to >= 4 by ``pad_to``/``pad_aa_to``
+        on every dock path.)"""
         if data.rec_scv is not None:
-            changed["rec_scv"] = None
-        k = data.lig_bond_nbr.shape[1]
-        if k < self.LIG_BOND_K:
-            pad = self.LIG_BOND_K - k
-            changed["lig_bond_nbr"] = np.pad(
-                np.asarray(data.lig_bond_nbr), ((0, 0), (0, pad))
-            )
-            changed["lig_bond_mask"] = np.pad(
-                np.asarray(data.lig_bond_mask), ((0, 0), (0, pad))
-            )
-            changed["lig_bond_attr"] = np.pad(
-                np.asarray(data.lig_bond_attr),
-                ((0, 0), (0, pad), (0, 0)),
-            )
-        return data._replace(**changed) if changed else data
+            return data._replace(rec_scv=None)
+        return data
 
     def _pre_crop_host(self, data, aa_data):
         """Host-side receptor shrink before padding (see ``__init__``)."""

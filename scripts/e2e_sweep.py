@@ -35,7 +35,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import N_CHURN_COMPLEXES, POSES_PER_COMPLEX, STEPS, churn_sizes
+from bench import POSES_PER_COMPLEX, STEPS, churn_sizes
 
 # smoke knobs (CPU plumbing checks); the banked artifact run uses defaults
 LIMIT = int(os.environ.get("E2E_LIMIT", 0))          # 0 = all 150

@@ -272,7 +272,7 @@ for fold_i, held in enumerate(fold_names):
                 k = min(VDM_PER_BATCH, len(vdm_pool))
                 idx = np.concatenate([
                     rng_vdm.choice(5, 5 - k, replace=False),
-                    5 + rng_vdm.choice(len(vdm_pool), k),
+                    5 + rng_vdm.choice(len(vdm_pool), k, replace=False),
                 ])
                 state, m = aug_step(
                     state, pool, jnp.asarray(idx, jnp.int32), key

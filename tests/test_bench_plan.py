@@ -285,6 +285,12 @@ def test_bank_refresh_demotes_stale_row(tmp_path, monkeypatch, capsys):
     disk = json.loads((tmp_path / "BENCH_DETAILS.json").read_text())
     assert disk["bank_refresh"]["rows"][0]["demoted"] is True
     assert "fineplan_16x192x4_p40" in disk  # untouched row survives merge
+    # r5 review: main() reloads the bucket->steady fill map after a
+    # non-empty refresh, so the FINAL headline serves the demoted row's
+    # fresh value — the map a reload yields must carry it
+    fresh = bench._banked_steady(bench.STEPS)
+    assert fresh[(32, 320, 8, 40)] == 3.0
+    assert fresh[(16, 192, 4, 40)] == 1.0  # untouched row still served
 
 
 def test_bench_bucket_safe_records_failure(monkeypatch):

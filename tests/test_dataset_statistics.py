@@ -52,3 +52,31 @@ def test_restrict_cpu_threads(monkeypatch):
     import torch
 
     assert torch.get_num_threads() == 4
+
+
+def test_lm_presence_changes_shard_identity(tmp_path):
+    """Round-5 review finding: the featurized-shard cache must key on
+    LM-embedding presence — a cache built without --esm_embeddings_path
+    used to silently serve dim-0 rec_lm features when the flag was added
+    on a later run (and vice versa)."""
+    # cache built WITHOUT embeddings
+    ds0 = ComplexDataset(
+        [ComplexSpec("6w70", EXAMPLE_PDB, EXAMPLE_SDF)],
+        DatasetConfig(cache_dir=str(tmp_path)),
+    )
+    ds0.preprocess()
+    assert ds0.get("6w70").rec_lm.shape[1] == 0
+
+    # same cache dir, now WITH a precomputed embedding: must refeaturize,
+    # not serve the stale dim-0 shard
+    n_rec = ds0.get("6w70").rec_lm.shape[0]
+    lm_path = tmp_path / "6w70.npy"
+    np.save(lm_path, np.zeros((n_rec, 16), np.float32))
+    ds1 = ComplexDataset(
+        [ComplexSpec("6w70", EXAMPLE_PDB, EXAMPLE_SDF, str(lm_path))],
+        DatasetConfig(cache_dir=str(tmp_path)),
+    )
+    ds1.preprocess()
+    assert ds1.get("6w70").rec_lm.shape[1] == 16
+    # and the original no-LM dataset still reads its own shard
+    assert ds0.get("6w70").rec_lm.shape[1] == 0
