@@ -162,3 +162,14 @@ def test_inference_normalization_unifies_program_identity(setup):
     assert len(pipe._compiled) + len(pipe._executables) == n_programs
     np.testing.assert_allclose(r_messy.poses, r_clean.poses,
                                rtol=1e-6, atol=1e-6)
+
+
+def test_confidence_chunk_validated_at_construction(setup):
+    """confidence_chunk=0 used to reach `(-P) % 0` at trace time deep in
+    _make_run; reject it up front (None = HBM-auto is the off switch)."""
+    so3, torus, aa, score_cfg, sp = setup
+    with pytest.raises(ValueError, match="confidence_chunk"):
+        DockingPipeline(
+            score_cfg, sp, SamplerConfig(inference_steps=2, actual_steps=2),
+            so3_tables=so3, torus_tables=torus, confidence_chunk=0,
+        )
