@@ -237,6 +237,38 @@ def _bench_bucket(pipeline, nl, nr, nb, poses, n_rep=2, anomaly_factor=None):
     }
 
 
+def _guard_banked_row(details, key, row, run_id):
+    """Record a measurement row without letting a failed/anomalous
+    attempt clobber a clean banked row (round-5 rehearsal: a loaded-host
+    tunnel glitch error-rowed 9 good cover rows in one run, which would
+    have starved the next run's bank fill). A bad row lands only when no
+    clean measurement exists; otherwise the clean row is kept and the
+    failure is recorded on it as ``last_failed_attempt``."""
+    bad = bool(row.get("error")) or bool(row.get("anomaly"))
+    if bad:
+        prior = details.get(key)
+        if prior is None:
+            try:
+                with open("BENCH_DETAILS.json") as f:
+                    prior = json.load(f).get(key)
+            except (FileNotFoundError, ValueError):
+                prior = None
+        if (isinstance(prior, dict) and prior.get("steady_s_per_batch")
+                and not (prior.get("error") or prior.get("anomaly"))):
+            details[key] = {
+                **prior,
+                "last_failed_attempt": {
+                    "run": run_id,
+                    **({"error": str(row["error"])[:300]}
+                       if row.get("error")
+                       else {"anomalous_steady_s":
+                             row["steady_s_per_batch"]}),
+                },
+            }
+            return
+    details[key] = row
+
+
 def _bench_bucket_safe(pipeline, nl, nr, nb, poses, **kw):
     """_bench_bucket, but a bucket that fails to compile or execute (e.g.
     an HBM OOM through the remote-compile tunnel) is recorded instead of
@@ -245,9 +277,14 @@ def _bench_bucket_safe(pipeline, nl, nr, nb, poses, **kw):
     try:
         return _bench_bucket(pipeline, nl, nr, nb, poses, **kw)
     except Exception as e:  # noqa: BLE001 — un-failable artifact
+        import traceback
+
         msg = f"{type(e).__name__}: {e}"
         print(f"# bucket {nl}x{nr} P={poses} FAILED: {msg[:300]}",
               file=sys.stderr)
+        # the artifact row keeps the short message; the stderr evidence
+        # keeps the full frames so a driver-run failure is diagnosable
+        print(traceback.format_exc(limit=25), file=sys.stderr)
         return {
             "poses_per_sec": 0.0,
             "steady_s_per_batch": 0.0,
@@ -987,7 +1024,7 @@ def main():
             f"steady {r['steady_s_per_batch']:.2f}s/batch -> "
             f"{r['poses_per_sec']:.2f} poses/s{tag}", file=sys.stderr,
         )
-        details[f"cover_{nl}x{nr}"] = {
+        _guard_banked_row(details, f"cover_{nl}x{nr}", {
             "bucket": {"nl": nl, "nr": nr, "nb": nb},
             "banked_at": run_id,
             "poses_in_flight": poses,
@@ -998,7 +1035,7 @@ def main():
             "churn_weight_s": round(weights[entry], 1),
             **({"anomaly": True} if r["anomaly"] else {}),
             **({"error": r["error"]} if "error" in r else {}),
-        }
+        }, run_id)
         last_bucket = k == len(order) - 1
         # stays provisional while later modes (--pocket/--fine_plan) will
         # still extend the headline line's field set
@@ -1214,7 +1251,7 @@ def main():
                 f"{r['steady_s_per_batch']:.2f}s/batch -> "
                 f"{r['poses_per_sec']:.2f} poses/s", file=sys.stderr,
             )
-            details[f"fineplan_{nl}x{nr}x{nb}_p{poses}"] = {
+            _guard_banked_row(details, f"fineplan_{nl}x{nr}x{nb}_p{poses}", {
                 "bucket": {"nl": nl, "nr": nr, "nb": nb},
                 "banked_at": run_id,
                 "poses_in_flight": poses,
@@ -1224,7 +1261,7 @@ def main():
                 "poses_per_sec": round(r["poses_per_sec"], 3),
                 **({"anomaly": True} if r["anomaly"] else {}),
                 **({"error": r["error"]} if "error" in r else {}),
-            }
+            }, run_id)
             _update_weighted_fine()
         if w_key in details:
             print(

@@ -366,3 +366,47 @@ def test_emit_headline_confidence_fields(capsys):
     line2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert line2["includes_confidence"] is False
     assert "confidence_forward_s" not in details2["weighted"]
+
+
+def test_guard_banked_row_protects_clean_bank(tmp_path, monkeypatch):
+    """r5 rehearsal finding: one loaded-host tunnel glitch error-rowed 9
+    clean cover rows in a single run, which would have starved the next
+    run's bank fill. A failed/anomalous attempt must keep the clean row
+    (recording the attempt on it); clean measurements still overwrite."""
+    monkeypatch.chdir(tmp_path)
+    clean = {"bucket": {"nl": 48, "nr": 256, "nb": 16},
+             "poses_in_flight": 40, "steady_s_per_batch": 2.06,
+             "poses_per_sec": 19.42}
+    (tmp_path / "BENCH_DETAILS.json").write_text(
+        json.dumps({"cover_48x256": clean}))
+
+    # error attempt -> prior kept + attempt recorded
+    details = {}
+    bad = {"bucket": clean["bucket"], "steady_s_per_batch": 0.0,
+           "poses_per_sec": 0.0, "anomaly": True,
+           "error": "ValueError: tunnel glitch"}
+    bench._guard_banked_row(details, "cover_48x256", bad, "run-Y")
+    row = details["cover_48x256"]
+    assert row["steady_s_per_batch"] == 2.06
+    assert row["last_failed_attempt"]["run"] == "run-Y"
+    assert "tunnel glitch" in row["last_failed_attempt"]["error"]
+
+    # anomalous (no error) attempt -> same protection, anomaly recorded
+    details2 = {}
+    anom = {"bucket": clean["bucket"], "steady_s_per_batch": 55.0,
+            "poses_per_sec": 0.7, "anomaly": True}
+    bench._guard_banked_row(details2, "cover_48x256", anom, "run-Z")
+    assert details2["cover_48x256"]["steady_s_per_batch"] == 2.06
+    assert details2["cover_48x256"]["last_failed_attempt"][
+        "anomalous_steady_s"] == 55.0
+
+    # clean measurement still overwrites (and clears the attempt field)
+    good = {"bucket": clean["bucket"], "poses_in_flight": 40,
+            "steady_s_per_batch": 2.10, "poses_per_sec": 19.0}
+    bench._guard_banked_row(details, "cover_48x256", good, "run-W")
+    assert details["cover_48x256"] == good
+
+    # no clean prior anywhere -> the bad row lands (evidence preserved)
+    details3 = {}
+    bench._guard_banked_row(details3, "cover_99x999", bad, "run-Y")
+    assert details3["cover_99x999"] is bad
