@@ -138,6 +138,32 @@ def _enable_cache_logging():
         jax.config.update("jax_explain_cache_misses", True)
     except Exception:  # pragma: no cover - older jax
         pass
+    # jax 0.8-era bug exposed by stable scan bodies (torsion.py): the
+    # explain path builds cache keys as (ctx, (avals, dbg, *context), {})
+    # but diff_tracing_cache_keys unpacks the middle as (tree, dbg, qdd,
+    # *_) — a lax.scan body's key has only (avals, dbg), so the SECOND
+    # shape traced for the same body raises ValueError('not enough values
+    # to unpack') INSIDE the user's trace and kills the program. Guard
+    # the differ so a malformed key degrades to 'explanation unavailable'
+    # instead of failing the dock call (round-5 rehearsal: 9 cover
+    # buckets error-rowed by exactly this).
+    try:
+        from jax._src.interpreters import partial_eval as _pe
+
+        if not getattr(_pe.diff_tracing_cache_keys, "_ddt_safe", False):
+            _orig_diff = _pe.diff_tracing_cache_keys
+
+            def _safe_diff(new_key, old_key):
+                try:
+                    return _orig_diff(new_key, old_key)
+                except Exception:
+                    return (9, 0, "cache miss explanation unavailable "
+                                  "(short tracing-cache key)")
+
+            _safe_diff._ddt_safe = True
+            _pe.diff_tracing_cache_keys = _safe_diff
+    except Exception:  # pragma: no cover - jax internals moved
+        pass
     handler = logging.StreamHandler(sys.stderr)
     handler.addFilter(
         lambda r: "persistent compilation cache" in r.getMessage().lower()

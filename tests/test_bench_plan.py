@@ -410,3 +410,25 @@ def test_guard_banked_row_protects_clean_bank(tmp_path, monkeypatch):
     details3 = {}
     bench._guard_banked_row(details3, "cover_99x999", bad, "run-Y")
     assert details3["cover_99x999"] is bad
+
+
+def test_cache_logging_survives_short_tracing_cache_keys():
+    """r5: jax's cache-miss explainer unpacks keys as (tree, dbg, qdd,
+    *_) but a lax.scan body's key carries only (avals, dbg) — with
+    jax_explain_cache_misses on, the SECOND shape traced for a stable
+    scan body raised inside the user's trace and error-rowed 9 cover
+    buckets. _enable_cache_logging must wrap the differ to degrade
+    gracefully."""
+    bench._enable_cache_logging()
+    from jax._src.interpreters import partial_eval as pe
+
+    assert getattr(pe.diff_tracing_cache_keys, "_ddt_safe", False)
+    # the malformed (scan-style) key form that crashed: middle has 2 elts
+    bad_new = ("ctx", ("avals", "dbg"), ())
+    bad_old = ("ctx", ("avals2", "dbg2"), ())
+    out = pe.diff_tracing_cache_keys(bad_new, bad_old)
+    assert out[-1].startswith("cache miss explanation unavailable")
+    # idempotent: re-enabling must not double-wrap
+    w = pe.diff_tracing_cache_keys
+    bench._enable_cache_logging()
+    assert pe.diff_tracing_cache_keys is w
